@@ -1,0 +1,164 @@
+"""Shared projection stage of the differentiable Gaussian rasterizer.
+
+Re-derivation of the preprocess performed inside the reference's CUDA
+`diff-gaussian-rasterization` forward (consumed at
+`/root/reference/scene/gaussian_model_ht.py:871-894`): frustum cull, 3D->2D
+EWA covariance projection, screen radius, conic, and SH->RGB. Everything here
+is pure jnp — it vmaps/fuses onto the VPU/MXU and is reused by both the
+pure-jnp oracle renderer and the tiled/Pallas fast path. All functions are
+differentiable by JAX AD (the backward of this stage is where the reference's
+means2D/SH/scale/rotation/pose gradients come from).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import sh as sh_lib
+from ..core.camera import Camera
+
+# CUDA-reference constants (behavioral parity targets)
+NEAR_CULL = 0.2          # camera-space z cull
+COV2D_BLUR = 0.3         # low-pass added to the projected covariance diagonal
+ALPHA_MIN = 1.0 / 255.0  # per-sample alpha cutoff
+ALPHA_MAX = 0.99         # per-sample alpha clamp
+T_EPS = 1e-4             # transmittance early-stop threshold
+
+
+class Projected(NamedTuple):
+    """Per-Gaussian screen-space quantities. N is the (static) capacity."""
+
+    means2d: jax.Array   # [N, 2] pixel coords
+    depths: jax.Array    # [N] camera-space z
+    conics: jax.Array    # [N, 3] upper-tri inverse 2D covariance (a, b, c)
+    radii: jax.Array     # [N] int32 screen radius, 0 => culled
+    colors: jax.Array    # [N, 3] RGB (SH evaluated, clamped >= 0)
+    opacities: jax.Array  # [N] post-sigmoid opacity
+    valid: jax.Array     # [N] bool: live && in frustum && radius > 0
+
+
+def quat_to_rotmat(q: jax.Array) -> jax.Array:
+    from ..core.se3 import quat_to_matrix, quat_normalize
+
+    return quat_to_matrix(quat_normalize(q))
+
+
+def compute_cov3d(scales: jax.Array, quats: jax.Array,
+                  scale_modifier: float = 1.0) -> jax.Array:
+    """Σ = L Lᵀ with L = R(q) diag(s·mod). Returns [N, 3, 3]."""
+    R = quat_to_rotmat(quats)
+    L = R * (scales * scale_modifier)[..., None, :]
+    return L @ jnp.swapaxes(L, -1, -2)
+
+
+def project(
+    means3d: jax.Array,
+    scales: jax.Array,
+    quats: jax.Array,
+    opacities: jax.Array,
+    sh: jax.Array,
+    live: jax.Array,
+    camera: Camera,
+    active_sh_degree,
+    max_sh_degree: int,
+    campos_override: Optional[jax.Array] = None,
+    sh_means_override: Optional[jax.Array] = None,
+    scale_modifier: float = 1.0,
+) -> Projected:
+    """Project N Gaussians into screen space of `camera`.
+
+    Args:
+      means3d: [N,3] positions in the render frame (already pose-transformed
+        by the caller when doing SfM-free pose fitting, mirroring
+        `get_xyz`'s `P.retr().act(xyz)` at
+        /root/reference/scene/gaussian_model_ht.py:136-148).
+      sh: [N,K,3] SH coefficients (K = (max_sh_degree+1)^2).
+      live: [N] bool capacity mask (dead slots render as invisible).
+      active_sh_degree: traced int scalar — bands above it are masked so the
+        jitted renderer never recompiles when the degree is bumped.
+      campos_override: [3] camera position used *only* for the SH view
+        direction. During pose fitting the reference evaluates SH at the
+        detached pose-inverse camera center with *model-frame* means
+        (/root/reference/scene/gaussian_model_ht.py:846-864).
+      sh_means_override: [N,3] model-frame means for the SH direction.
+    """
+    N = means3d.shape[0]
+    W = camera.world_view
+    Rcw = W[:3, :3]
+    tcw = W[:3, 3]
+
+    p_view = means3d @ Rcw.T + tcw
+    depths = p_view[:, 2]
+
+    # --- perspective projection to pixels --------------------------------
+    full_proj = camera.full_proj
+    p_hom = means3d @ full_proj[:, :3].T + full_proj[:, 3]
+    inv_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    ndc = p_hom[:, :3] * inv_w[:, None]
+    px = ((ndc[:, 0] + 1.0) * camera.width - 1.0) * 0.5
+    py = ((ndc[:, 1] + 1.0) * camera.height - 1.0) * 0.5
+    means2d = jnp.stack([px, py], axis=-1)
+
+    # --- EWA 2D covariance -------------------------------------------------
+    cov3d = compute_cov3d(scales, quats, scale_modifier)
+
+    tan_fovx = camera.tan_half_fovx
+    tan_fovy = camera.tan_half_fovy
+    tz = p_view[:, 2]
+    tz_safe = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    tx = jnp.clip(p_view[:, 0] / tz_safe, -limx, limx) * tz_safe
+    ty = jnp.clip(p_view[:, 1] / tz_safe, -limy, limy) * tz_safe
+
+    fx, fy = camera.fx, camera.fy
+    inv_z = 1.0 / tz_safe
+    inv_z2 = inv_z * inv_z
+    # J rows of the perspective Jacobian (2x3), per Gaussian
+    J = jnp.zeros((N, 2, 3), dtype=means3d.dtype)
+    J = J.at[:, 0, 0].set(fx * inv_z)
+    J = J.at[:, 0, 2].set(-fx * tx * inv_z2)
+    J = J.at[:, 1, 1].set(fy * inv_z)
+    J = J.at[:, 1, 2].set(-fy * ty * inv_z2)
+
+    M = J @ Rcw  # [N, 2, 3]
+    cov2d = M @ cov3d @ jnp.swapaxes(M, -1, -2)  # [N, 2, 2]
+    c00 = cov2d[:, 0, 0] + COV2D_BLUR
+    c01 = cov2d[:, 0, 1]
+    c11 = cov2d[:, 1, 1] + COV2D_BLUR
+
+    det = c00 * c11 - c01 * c01
+    det_safe = jnp.where(det == 0.0, 1.0, det)
+    inv_det = 1.0 / det_safe
+    conics = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], axis=-1)
+
+    mid = 0.5 * (c00 + c11)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+
+    in_front = depths > NEAR_CULL
+    ok = in_front & (det > 0.0) & live
+    radii = jnp.where(ok, radius_f, 0.0).astype(jnp.int32)
+    valid = ok & (radii > 0)
+
+    # --- SH -> RGB ----------------------------------------------------------
+    campos = camera.camera_center if campos_override is None else campos_override
+    sh_means = means3d if sh_means_override is None else sh_means_override
+    dirs = sh_means - campos[None, :]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    band_mask = sh_lib.sh_degree_mask(active_sh_degree, max_sh_degree)
+    color = sh_lib.eval_sh(max_sh_degree, sh * band_mask[None, :, None], dirs)
+    colors = jnp.maximum(color + 0.5, 0.0)
+
+    return Projected(
+        means2d=means2d,
+        depths=jnp.where(valid, depths, jnp.inf),
+        conics=conics,
+        radii=radii,
+        colors=colors,
+        opacities=opacities,
+        valid=valid,
+    )
