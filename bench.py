@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark: differentiable-rasterizer fwd+bwd throughput.
+
+Primary metric (BASELINE.md): fwd+bwd megapixels/s/chip at 1M Gaussians,
+1080p, through the tile-binned renderer (Pallas blend on TPU). Prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+`vs_baseline` is measured against a nominal 50 MP/s fwd+bwd for the CUDA
+diff-gaussian-rasterization at the same workload on a single A100-class GPU
+(the reference publishes no throughput numbers — BASELINE.md; 50 MP/s
+corresponds to ~24 fwd+bwd iters/s at 2.07 MP, a representative figure for
+1M-Gaussian scenes).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CUDA_NOMINAL_MPS = 50.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+
+    # scale the workload down on CPU so the bench still runs in CI
+    if on_tpu:
+        n_gauss, H, W = 1_000_000, 1080, 1920
+        tile_args = dict(tile_h=16, tile_w=16, max_per_tile=1024,
+                         dup_factor=16, backend="pallas")
+        iters = 10
+    else:
+        n_gauss, H, W = 20_000, 216, 384
+        tile_args = dict(tile_h=16, tile_w=16, max_per_tile=512,
+                         dup_factor=16, backend="xla")
+        iters = 3
+
+    from ht3dgs.core import gaussians as G
+    from ht3dgs.core.camera import intrinsics_from_fov, make_camera
+    from ht3dgs.raster import render
+
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((n_gauss, 3)).astype(np.float32) * 1.5
+    pts[:, 2] += 6.0
+    colors = rng.random((n_gauss, 3)).astype(np.float32)
+    state = G.create_from_pcd(pts, colors, capacity=n_gauss)
+    cam = make_camera(H, W, intrinsics_from_fov(1.2, H, W))
+    target = jnp.zeros((H, W, 3), jnp.float32)
+
+    @jax.jit
+    def step(means, sh_dc, opacity_logit):
+        import dataclasses
+
+        def loss_fn(m, s, o):
+            st = dataclasses.replace(state, means=m, sh_dc=s,
+                                     opacity_logit=o)
+            out = render(st, cam, mode="tiled", tile_args=tile_args)
+            return jnp.mean((out["image"] - target) ** 2)
+
+        l, g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+            means, sh_dc, opacity_logit)
+        return l, g
+
+    # warmup/compile
+    l, g = step(state.means, state.sh_dc, state.opacity_logit)
+    jax.block_until_ready((l, g))
+
+    t0 = time.time()
+    for _ in range(iters):
+        l, g = step(state.means, state.sh_dc, state.opacity_logit)
+    jax.block_until_ready((l, g))
+    dt = (time.time() - t0) / iters
+
+    mpix_per_s = (H * W / 1e6) / dt
+    result = {
+        "metric": "fwd+bwd megapixels/s/chip "
+                  f"({n_gauss // 1000}k Gaussians, {W}x{H}, {backend})",
+        "value": round(mpix_per_s, 3),
+        "unit": "MP/s",
+        "vs_baseline": round(mpix_per_s / CUDA_NOMINAL_MPS, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

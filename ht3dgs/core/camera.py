@@ -61,13 +61,23 @@ class Camera:
     cy: jax.Array
     height: int = dataclasses.field(metadata=dict(static=True))
     width: int = dataclasses.field(metadata=dict(static=True))
+    # EWA Jacobian clamp limits (tan of half-FoV). Default None = derive from
+    # this camera's own height/width. A sharded row-block render must pass
+    # the FULL image's limits here so per-shard projection matches the
+    # unsharded render exactly (see parallel.mesh).
+    clip_tan_x: Optional[jax.Array] = None
+    clip_tan_y: Optional[jax.Array] = None
 
     @property
     def tan_half_fovx(self):
+        if self.clip_tan_x is not None:
+            return self.clip_tan_x
         return 0.5 * self.width / self.fx
 
     @property
     def tan_half_fovy(self):
+        if self.clip_tan_y is not None:
+            return self.clip_tan_y
         return 0.5 * self.height / self.fy
 
     @property

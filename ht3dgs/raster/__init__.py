@@ -93,11 +93,14 @@ def render(
 
     if mode == "oracle":
         out = rasterize_oracle(proj, camera.height, camera.width, bg_color)
-    elif mode == "tiled":
+    elif mode in ("tiled", "pallas"):
         from .tiled import rasterize_tiled
 
+        args = dict(tile_args or {})
+        if mode == "pallas":
+            args.setdefault("backend", "pallas")
         out = rasterize_tiled(proj, camera.height, camera.width, bg_color,
-                              **(tile_args or {}))
+                              **args)
     else:
         raise ValueError(f"unknown render mode: {mode}")
 

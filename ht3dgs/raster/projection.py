@@ -148,17 +148,24 @@ def project(
     campos = camera.camera_center if campos_override is None else campos_override
     sh_means = means3d if sh_means_override is None else sh_means_override
     dirs = sh_means - campos[None, :]
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    # NaN-safe normalization: linalg.norm has a NaN gradient at 0, and dead
+    # capacity slots (means == 0) can coincide with the camera center; a NaN
+    # cotangent there would poison the whole step via 0·NaN in the blend.
+    dirs = dirs * jax.lax.rsqrt(
+        jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-12)
     band_mask = sh_lib.sh_degree_mask(active_sh_degree, max_sh_degree)
     color = sh_lib.eval_sh(max_sh_degree, sh * band_mask[None, :, None], dirs)
     colors = jnp.maximum(color + 0.5, 0.0)
 
+    # sanitize culled/dead rows so no NaN/garbage can leak through masked
+    # arithmetic (0·NaN = NaN) anywhere downstream
+    v1 = valid[:, None]
     return Projected(
-        means2d=means2d,
+        means2d=jnp.where(v1, means2d, 0.0),
         depths=jnp.where(valid, depths, jnp.inf),
-        conics=conics,
+        conics=jnp.where(v1, conics, 0.0),
         radii=radii,
-        colors=colors,
-        opacities=opacities,
+        colors=jnp.where(v1, colors, 0.0),
+        opacities=jnp.where(valid, opacities, 0.0),
         valid=valid,
     )

@@ -89,6 +89,7 @@ def rasterize_tiled(
     max_per_tile: int = 1024,
     dup_factor: int = 16,
     chunk: int = 32,
+    backend: str = "xla",   # "xla" | "pallas" (TPU kernel forward)
 ) -> Dict[str, jax.Array]:
     N = proj.means2d.shape[0]
     ntx = _cdiv(width, tile_w)
@@ -149,6 +150,15 @@ def rasterize_tiled(
     gid = jnp.take(sorted_src, jnp.clip(idx, 0, M - 1))  # [T, K]
 
     # ---- 6. blend ---------------------------------------------------------
+    if backend == "pallas":
+        from .pallas_blend import blend_pallas, pack_entries
+
+        ent, meta = pack_entries(means2d, conics, colors, opac, depths,
+                                 gid, entry_valid, ntx, tile_h, tile_w)
+        rgb_t, T_t, dep_t = blend_pallas(ent, meta, tile_h, tile_w)
+        return _assemble(rgb_t, T_t, dep_t, height, width, ntx, nty,
+                         tile_h, tile_w, bg_color, total, M, starts, ends, K)
+
     tx_of_tile = (jnp.arange(T, dtype=jnp.int32) % ntx)
     ty_of_tile = (jnp.arange(T, dtype=jnp.int32) // ntx)
     p = jnp.arange(P, dtype=jnp.int32)
@@ -183,8 +193,12 @@ def rasterize_tiled(
         jnp.zeros((T, P), dtype),
     )
     (T_buf, rgb, dep), _ = jax.lax.scan(scan_body, init, (gid_c, ev_c))
+    return _assemble(rgb, T_buf, dep, height, width, ntx, nty, tile_h,
+                     tile_w, bg_color, total, M, starts, ends, K)
 
-    # ---- assemble ---------------------------------------------------------
+
+def _assemble(rgb, T_buf, dep, height, width, ntx, nty, tile_h, tile_w,
+              bg_color, total, M, starts, ends, K) -> Dict[str, jax.Array]:
     def untile(x, ch=None):
         shape = (nty, ntx, tile_h, tile_w) + ((ch,) if ch else ())
         x = x.reshape(shape)

@@ -1,0 +1,189 @@
+"""Evaluation / rendering modes: eval_nvs, eval_pose, render_nvs.
+
+Parity with the reference flows (`/root/reference/trainer/ht3dgs_trainer.py`):
+- eval_nvs (:964-1089): restore checkpoint, initialize test-frame poses by
+  striding the trained pose chain, run test-time *pose-only* optimization
+  (camera Adam, Gaussians frozen) for `eval_nvs_epochs` sweeps, then report
+  per-frame + mean PSNR/SSIM/LPIPS into test/test.txt.
+- eval_pose (:1133-1222): load predicted w2c chain, align (Procrustes scale
+  + Umeyama sim3) against dataset GT, write RPE_trans(x100)/RPE_rot(deg)/ATE
+  into pose_eval.txt and a trajectory plot.
+- render_nvs (:1224-1272): B-spline/slerp a novel trajectory through the
+  trained poses and write an mp4 (falls back to a PNG sequence when imageio
+  has no encoder).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import se3
+from ..eval import metrics as metrics_lib
+from ..eval import pose_eval as pe
+from ..eval import traj as traj_lib
+from . import step as step_lib
+from .losses import psnr as psnr_fn
+from .losses import ssim as ssim_fn
+
+
+def eval_nvs(trainer, checkpoint: Optional[str] = None,
+             pose_file: Optional[str] = None) -> dict:
+    ckpt = checkpoint or trainer.model_cfg.model_path or \
+        f"{trainer.result_path}/chkpnt/model.npz"
+    bundle = trainer.load_checkpoint(ckpt)
+    pose_file = pose_file or f"{trainer.result_path}/pose/pose.npz"
+    pose_data = dict(np.load(pose_file))
+    poses_pred = pose_data["poses_pred"]
+
+    result_path = os.path.join(os.path.dirname(os.path.dirname(ckpt)), "test")
+    os.makedirs(result_path, exist_ok=True)
+
+    seq_len = trainer.seq_len
+    sample_rate = 2 if "Family" in result_path + trainer.data_path else 8
+    if sample_rate == 2:
+        init = poses_pred[0::sample_rate - 1][:seq_len]
+    else:
+        init = poses_pred[int(sample_rate / 2)::sample_rate - 1][:seq_len]
+    if len(init) < seq_len:  # pad with the last pose
+        pad = np.tile(init[-1][None], (seq_len - len(init), 1, 1))
+        init = np.concatenate([init, pad], axis=0)
+
+    # per-frame pose tangents optimized against frozen Gaussians
+    bases = [np.asarray(se3.se3_from_matrix(jnp.asarray(p)))
+             for p in init]
+    deltas = [jnp.zeros(6, jnp.float32) for _ in range(seq_len)]
+    opts = [step_lib.init_pose_opt() for _ in range(seq_len)]
+    lr = jnp.asarray(trainer.sched.rotation_lr, jnp.float32)
+
+    epochs = trainer.sched.eval_nvs_epochs
+    for ep in range(epochs):
+        for f in range(seq_len):
+            cam = trainer.camera_for(f)  # identity extrinsics
+            gt = jnp.asarray(trainer.load_image(f))
+            deltas[f], opts[f], m = step_lib.pose_train_step(
+                bundle.state, deltas[f], jnp.asarray(bases[f]), opts[f],
+                cam, gt, lr, mode=trainer._mode,
+                tile_args=trainer._tile_args,
+                lambda_dssim=trainer.sched.lambda_dssim)
+        if (ep + 1) % 20 == 0:
+            trainer.logger.info(
+                f"[eval_nvs] epoch {ep + 1}/{epochs} "
+                f"last psnr {float(m['psnr']):.2f}")
+
+    rows = []
+    for f in range(seq_len):
+        pose = np.asarray(se3.se3_to_matrix(
+            se3.se3_retr(deltas[f], jnp.asarray(bases[f]))))
+        cam = trainer.camera_for(f, pose=pose)
+        out = step_lib.render_eval(bundle.state, cam, mode=trainer._mode,
+                                   tile_args=trainer._tile_args)
+        gt = trainer.load_image(f)
+        p = float(psnr_fn(out["image"], jnp.asarray(gt)))
+        s = float(ssim_fn(out["image"], jnp.asarray(gt)))
+        l = metrics_lib.try_lpips(np.asarray(out["image"]), gt)
+        rows.append((f, p, s, l))
+        trainer.logger.info(f"[eval_nvs] frame {f}: psnr {p:.3f} "
+                            f"ssim {s:.3f} lpips {l:.3f}")
+
+    mean_p = float(np.mean([r[1] for r in rows]))
+    mean_s = float(np.mean([r[2] for r in rows]))
+    lp = [r[3] for r in rows if np.isfinite(r[3])]
+    mean_l = float(np.mean(lp)) if lp else float("nan")
+    with open(os.path.join(result_path, "test.txt"), "w") as f:
+        for r in rows:
+            f.write(f"{r[0]} {r[1]:.03f} {r[2]:.03f} {r[3]:.03f}\n")
+        f.write(f"PSNR : {mean_p:.03f}, SSIM : {mean_s:.03f}, "
+                f"LPIPS : {mean_l:.03f}")
+    print(f"PSNR : {mean_p:.03f}, SSIM : {mean_s:.03f}, LPIPS : {mean_l:.03f}")
+    return {"psnr": mean_p, "ssim": mean_s, "lpips": mean_l, "rows": rows}
+
+
+def eval_pose(trainer, pose_file: Optional[str] = None) -> dict:
+    pose_file = pose_file or (
+        trainer.model_cfg.pose_path or f"{trainer.result_path}/pose/pose.npz")
+    data = dict(np.load(pose_file))
+    poses_pred = data["poses_pred"]
+    gt = trainer.gt_poses_w2c()
+    if gt is None:
+        raise ValueError("dataset has no ground-truth poses for eval_pose")
+
+    res = pe.evaluate_poses(gt, poses_pred)
+    out_dir = os.path.dirname(pose_file)
+    os.makedirs(out_dir, exist_ok=True)
+    line = ("RPE_trans: {:.03f}, RPE_rot: {:.03f}, ATE: {:.03f}".format(
+        res["RPE_trans_x100"], res["RPE_rot_deg"], res["ATE"]))
+    print(line)
+    with open(os.path.join(out_dir, "pose_eval.txt"), "w") as f:
+        f.write(line)
+    _plot_trajectories(res["aligned_gt_c2w"], res["aligned_pred_c2w"],
+                       os.path.join(out_dir, "pose_plot.png"))
+    return res
+
+
+def _plot_trajectories(gt_c2w, pred_c2w, path):
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure(figsize=(6, 6))
+        ax = fig.add_subplot(projection="3d")
+        ax.plot(*gt_c2w[:, :3, 3].T, label="GT", c="k")
+        ax.plot(*pred_c2w[:, :3, 3].T, label="ours", c="r")
+        ax.legend()
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    except Exception:
+        pass
+
+
+def render_nvs(trainer, checkpoint: Optional[str] = None,
+               pose_file: Optional[str] = None, n_novel: int = 120,
+               traj_opt: str = "bspline") -> str:
+    ckpt = checkpoint or trainer.model_cfg.model_path or \
+        f"{trainer.result_path}/chkpnt/model.npz"
+    bundle = trainer.load_checkpoint(ckpt)
+    pose_file = pose_file or f"{trainer.result_path}/pose/pose.npz"
+    poses_pred = dict(np.load(pose_file))["poses_pred"]
+
+    c2ws = np.linalg.inv(poses_pred)
+    novel_c2w = traj_lib.interp_poses_bspline(c2ws, n_novel)
+    novel_w2c = np.linalg.inv(novel_c2w)
+
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(ckpt)),
+                           "nvs", traj_opt)
+    os.makedirs(os.path.join(out_dir, "img_out"), exist_ok=True)
+    frames = []
+    for i, pose in enumerate(novel_w2c):
+        cam = trainer.camera_for(min(10, trainer.seq_len - 1), pose=pose)
+        out = step_lib.render_eval(bundle.state, cam, mode=trainer._mode,
+                                   tile_args=trainer._tile_args)
+        img = (np.asarray(out["image"]) * 255).astype(np.uint8)
+        depth = np.asarray(out["depth"])
+        dmin, dmax = depth.min(), depth.max()
+        dnorm = ((depth - dmin) / max(dmax - dmin, 1e-6) * 255).astype(np.uint8)
+        frame = np.concatenate(
+            [img, np.repeat(dnorm[..., None], 3, axis=-1)], axis=1)
+        frames.append(frame)
+        from PIL import Image
+
+        Image.fromarray(img).save(
+            os.path.join(out_dir, "img_out", f"{i:04d}.png"))
+
+    video = os.path.join(out_dir, "video_out")
+    os.makedirs(video, exist_ok=True)
+    mp4 = os.path.join(
+        video, f"{trainer.model_cfg.category}_{trainer.model_cfg.seq_name}"
+        "_ours.mp4")
+    try:
+        import imageio
+
+        imageio.mimwrite(mp4, frames, fps=30, quality=9)
+    except Exception:
+        mp4 = out_dir  # encoder unavailable -> PNG sequence is the artifact
+    return mp4

@@ -1,0 +1,793 @@
+"""Hierarchical-training orchestrator.
+
+TPU-native re-implementation of the reference `HTGaussianTrainer`
+(`/root/reference/trainer/ht3dgs_trainer.py`): per-frame relative-pose
+estimation through a differentiable renderer (Phase A), binary-hierarchy
+partition of the frame sequence (Phase B), leaf-segment training with replay
+sampling + VFI multi-source supervision, non-leaf training with pseudo-views
+from frozen children (MSS phase 1) and replay+VFI (phase 2), importance-
+pruned SE(3)-re-anchored merges, and the eval/render modes.
+
+All device work happens in the jitted steps of `ht3dgs.train.step`; this
+module is host-side control flow (python), which is the correct split on
+TPU: the inner loop stays compiled, while the schedule — which the
+reference interleaves with CUDA calls — costs nothing here.
+
+Poses are stored as numpy [4,4] w2c matrices per frame per model, anchored
+at each segment's first frame (identity there), exactly like the reference's
+lietorch pose list `P` with zero tangents.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import adam as adam_lib
+from ..core import gaussians as G
+from ..core import se3
+from ..core.gaussians import GaussianState
+from ..data.pointcloud import PointCloud
+from . import step as step_lib
+from .trainer import GaussianTrainer
+
+
+def _round_capacity(n: int) -> int:
+    cap = 512
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+@dataclass
+class ModelBundle:
+    """One 3DGS model (a leaf or merged segment) + its optimizer + poses."""
+
+    state: GaussianState
+    opt: adam_lib.AdamState
+    radius: float               # scene extent for densify thresholds
+    spatial_scale: float        # xyz-LR scale (create_from_pcd arg)
+    poses: Optional[np.ndarray] = None   # [F, 4, 4] w2c
+    global_iteration: int = 0
+    start_fidx: int = 0
+    to_visit_frames: List[int] = field(default_factory=list)
+
+    def get_RT(self, idx: int) -> np.ndarray:
+        if self.poses is None:
+            return np.eye(4, dtype=np.float32)
+        return self.poses[idx]
+
+    def set_RT(self, idx: int, pose: np.ndarray):
+        self.poses[idx] = pose.astype(np.float32)
+
+    def fresh_adam(self):
+        """training_setup semantics: torch recreates Adam => moments reset."""
+        self.opt = adam_lib.init(self.state.params())
+
+
+class HTGaussianTrainer(GaussianTrainer):
+    def __init__(self, data_path, model_cfg, pipe_cfg, optim_cfg, seed=0):
+        super().__init__(data_path, model_cfg, pipe_cfg, optim_cfg)
+        self.train_level = pipe_cfg.train_level
+        self.rng = random.Random(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.pose_dict: Dict[str, np.ndarray] = {}
+        self.just_reset = False
+        self.global_iteration = 0
+        self.near = 0.01
+        # mutated schedule copy (hierarchical_training derives its own)
+        self.sched = dataclasses.replace(optim_cfg)
+        self._mode = pipe_cfg.render_mode
+        self._tile_args = None  # tuned per scene scale
+
+    # ------------------------------------------------------------------ #
+    # model construction
+    def make_model(self, pcd: PointCloud,
+                   capacity: Optional[int] = None) -> ModelBundle:
+        """init_model(BasicPointCloud) parity
+        (/root/reference/scene/gaussian_model_ht.py:762-766)."""
+        radius = float(np.linalg.norm(pcd.points, axis=1).max())
+        cap = capacity or _round_capacity(int(len(pcd.points) * 1.5))
+        state = G.create_from_pcd(
+            pcd.points, pcd.colors, cap,
+            max_sh_degree=self.model_cfg.sh_degree,
+            view_dependent=self.model_cfg.view_dependent)
+        opt = adam_lib.init(state.params())
+        return ModelBundle(state=state, opt=opt, radius=radius,
+                           spatial_scale=radius)
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _lrs(self, iteration: int, bundle: ModelBundle,
+             fix_feat: bool = False) -> Dict[str, jnp.ndarray]:
+        o = self.sched
+        xyz = adam_lib.expon_lr(
+            iteration, o.position_lr_init * bundle.spatial_scale,
+            o.position_lr_final * bundle.spatial_scale,
+            max_steps=o.position_lr_max_steps)
+        feat = 0.0 if fix_feat else 1.0
+        return {
+            "means": xyz,
+            "sh_dc": jnp.asarray(o.feature_lr * feat, jnp.float32),
+            "sh_rest": jnp.asarray(o.feature_lr / 20.0 * feat, jnp.float32),
+            "opacity_logit": jnp.asarray(o.opacity_lr * feat, jnp.float32),
+            "log_scales": jnp.asarray(o.scaling_lr * feat, jnp.float32),
+            "quats": jnp.asarray(o.rotation_lr * feat, jnp.float32),
+        }
+
+    # ------------------------------------------------------------------ #
+    # the host-side inner iteration (reference train_step,
+    # ht3dgs_trainer.py:81-169)
+    def host_train_step(self, bundle: ModelBundle, camera, gt_image,
+                        iteration: int, *, densify=True, reset=True,
+                        sched=None, densification_interval=None,
+                        depth_gt=None, fix_feat=False):
+        o = sched or self.sched
+        interval = densification_interval or o.densification_interval
+
+        in_densify_window = densify and iteration < o.densify_until_iter
+        do_densify = (in_densify_window and iteration > o.densify_from_iter
+                      and iteration % interval == 0)
+        do_reset = (in_densify_window and reset
+                    and iteration % o.opacity_reset_interval == 0
+                    and iteration < o.reset_until_iter)
+
+        apply_adam = "skip" if do_densify else (
+            "no_opacity" if do_reset else "all")
+
+        state, opt, metrics = step_lib.gaussian_train_step(
+            bundle.state, bundle.opt, camera,
+            jnp.asarray(gt_image),
+            self._lrs(iteration, bundle, fix_feat=fix_feat),
+            depth_gt=jnp.asarray(depth_gt) if depth_gt is not None else None,
+            mode=self._mode,
+            apply_adam=apply_adam,
+            track_stats=in_densify_window,
+            lambda_dssim=o.lambda_dssim,
+            lambda_depth=o.lambda_depth if depth_gt is not None else 0.0,
+            tile_args=self._tile_args,
+        )
+        bundle.state, bundle.opt = state, opt
+
+        if do_densify:
+            use_screen = iteration > o.opacity_reset_interval
+            bundle.state, bundle.opt, dropped = step_lib.densify_and_prune(
+                bundle.state, bundle.opt, self._next_key(),
+                jnp.asarray(o.densify_grad_threshold),
+                jnp.asarray(0.005),
+                jnp.asarray(bundle.radius),
+                jnp.asarray(o.percent_dense),
+                jnp.asarray(20.0),
+                jnp.asarray(use_screen))
+            if int(dropped) > 0:
+                self._grow_capacity(bundle)
+        if do_reset:
+            bundle.state, bundle.opt = step_lib.reset_opacity(
+                bundle.state, bundle.opt)
+            self.just_reset = True
+        return metrics
+
+    def _grow_capacity(self, bundle: ModelBundle):
+        """Double the static capacity (host-side realloc; triggers one
+        recompile at the new shape)."""
+        st = bundle.state
+        cap = st.capacity
+        pad_rows = cap  # double
+
+        def pad(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((pad_rows,) + x.shape[1:], x.dtype)], axis=0)
+
+        bundle.state = dataclasses.replace(
+            st,
+            **{f: pad(getattr(st, f)) for f in G.PARAM_FIELDS},
+            live=jnp.concatenate(
+                [st.live, jnp.zeros((pad_rows,), bool)]),
+            max_radii2d=pad(st.max_radii2d),
+            grad_accum=pad(st.grad_accum),
+            grad_denom=pad(st.grad_denom),
+        )
+        bundle.opt = adam_lib.AdamState(
+            m={k: pad(v) for k, v in bundle.opt.m.items()},
+            v={k: pad(v) for k, v in bundle.opt.v.items()},
+            step=bundle.opt.step)
+        self.logger.info(f"capacity grown {cap} -> {2 * cap}")
+
+    # ------------------------------------------------------------------ #
+    # Phase A primitives
+    def fit_single_image(self, bundle: ModelBundle, idx: int,
+                         iterations: int, early_stop: bool = True,
+                         depth_gt=None):
+        """train_single_image_3DGS / init fitting: fixed identity camera,
+        densify off (ht3dgs_trainer.py:274-304)."""
+        cam = self.camera_for(idx)
+        gt = self.load_image(idx)
+        bundle.fresh_adam()
+        psnr = 0.0
+        for it in range(1, iterations + 1):
+            m = self.host_train_step(bundle, cam, gt, it, densify=False,
+                                     depth_gt=depth_gt)
+            psnr = float(m["psnr"])
+            if early_stop and psnr > 35.0 and it > min(500, iterations // 2):
+                break
+            if it % 100 == 0:
+                self.logger.info(
+                    f"[fit_single {idx}] it {it} psnr {psnr:.2f} "
+                    f"n={int(bundle.state.n_live())}")
+        return psnr
+
+    def fit_single_image_vfi(self, bundle: ModelBundle, idx: int,
+                             iterations: int):
+        cam = self.camera_for(idx)
+        gt = self.get_vfi(idx)
+        bundle.fresh_adam()
+        for it in range(1, iterations + 1):
+            m = self.host_train_step(bundle, cam, gt, it, densify=False)
+            if float(m["psnr"]) > 35.0 and it > min(500, iterations // 2):
+                break
+
+    def fit_relative_pose(self, bundle: ModelBundle, gt_image,
+                          camera, iterations: int = 300) -> np.ndarray:
+        """train_relative_pose: optimize only an SE(3) tangent against
+        frozen Gaussians (ht3dgs_trainer.py:307-333). Returns w2c 4x4."""
+        delta = jnp.zeros(6, jnp.float32)
+        popt = step_lib.init_pose_opt()
+        base = se3.se3_identity()
+        lr = jnp.asarray(self.sched.rotation_lr, jnp.float32)
+        gt = jnp.asarray(gt_image)
+        for it in range(1, iterations + 1):
+            delta, popt, m = step_lib.pose_train_step(
+                bundle.state, delta, base, popt, camera, gt, lr,
+                mode=self._mode, tile_args=self._tile_args,
+                lambda_dssim=self.sched.lambda_dssim)
+            if it % 100 == 0:
+                self.logger.info(
+                    f"[rel_pose] it {it} psnr {float(m['psnr']):.2f}")
+        pose = se3.se3_retr(delta, base)
+        return np.asarray(se3.se3_to_matrix(pose), np.float32)
+
+    def compute_relative_pose(self, view_idx: int, view_idx_prev: int):
+        """Phase A: pose of frame `view_idx` w.r.t. `view_idx_prev`
+        (ht3dgs_trainer.py:336-431). With train_pose_mode='vfi', two
+        half-steps through the interpolated frame are composed."""
+        key = f"rel_pose_{view_idx_prev}_to_{view_idx}"
+        if key in self.pose_dict:
+            return
+        use_vfi = (self.pipe_cfg.train_pose_mode == "vfi"
+                   and self.vfi_provider is not None)
+
+        pcd = self.prepare_pcd(view_idx_prev)
+        local = self.make_model(pcd)
+        self.logger.info(f"[Phase A] fit frame {view_idx_prev}")
+        self.fit_single_image(local, view_idx_prev, self.sched.phase_a_fit_iters)
+
+        cam_ref = self.camera_for(view_idx)
+        gt_ref = self.load_image(view_idx)
+
+        if not use_vfi:
+            rel = self.fit_relative_pose(local, gt_ref, cam_ref, self.sched.phase_a_pose_iters)
+            self.pose_dict[key] = rel
+            return
+
+        pcd_vfi = self.prepare_pcd(view_idx_prev, use_vfi_frame=True)
+        local_vfi = self.make_model(pcd_vfi)
+        self.logger.info(f"[Phase A] fit frame {view_idx_prev}+0.5 (VFI)")
+        self.fit_single_image_vfi(local_vfi, view_idx_prev, self.sched.phase_a_fit_iters)
+
+        gt_vfi = self.get_vfi(view_idx_prev)
+        cam_vfi = self.camera_for(view_idx_prev)
+        rel1 = self.fit_relative_pose(local, gt_vfi, cam_vfi, self.sched.phase_a_pose_iters)
+        rel2 = self.fit_relative_pose(local_vfi, gt_ref, cam_ref, self.sched.phase_a_pose_iters)
+        self.pose_dict[f"rel_pose_{view_idx_prev}_to_{view_idx_prev}.5"] = rel1
+        self.pose_dict[f"rel_pose_{view_idx_prev}.5_to_{view_idx}"] = rel2
+        self.pose_dict[key] = rel2 @ rel1
+
+    # ------------------------------------------------------------------ #
+    # partition (ht3dgs_trainer.py:1338-1395)
+    def partition(self, n: int, level: int, overlap: int = 2):
+        if self.pipe_cfg.partition_strategy == "v1" and level > 0:
+            diffs = []
+            for idx in range(n - 1):
+                rel = self.pose_dict[f"rel_pose_{idx}_to_{idx + 1}"]
+                diffs.append((self._pose_size(rel), idx))
+            num_segment = 2 ** level
+            len_segment = n // num_segment
+            len_sub = n // (num_segment * 4)
+            key_indices = []
+            for i in range(num_segment - 1):
+                idx = (i + 1) * len_segment
+                window = diffs[max(0, idx - len_sub):idx + len_sub + 1]
+                key_indices.append(sorted(window)[-1][1])
+            result = {}
+            for lv in range(level, -1, -1):
+                result[lv] = []
+                if lv == level:
+                    prev = 0
+                    for k in key_indices:
+                        result[lv].append(list(range(prev, k + 1 + overlap)))
+                        prev = k + 1
+                    result[lv].append(list(range(prev, n)))
+                else:
+                    for i in range(0, len(result[lv + 1]), 2):
+                        l1 = result[lv + 1][i]
+                        l2 = result[lv + 1][i + 1]
+                        result[lv].append(sorted(set(l1 + l2)))
+            assert result[0][0] == list(range(n))
+            return result
+        # 'even': recursive halving with 1-frame overlap
+        result = {0: [list(range(n))]}
+        for lv in range(1, level + 1):
+            result[lv] = []
+            for ind in result[lv - 1]:
+                h = len(ind) // 2
+                result[lv].append(ind[:h + 1])
+                result[lv].append(ind[h - 1:])
+        return result
+
+    @staticmethod
+    def _pose_size(pose: np.ndarray) -> float:
+        t = float(np.linalg.norm(pose[:3, 3]))
+        tr = float(np.trace(pose[:3, :3]))
+        ang = float(np.arccos(np.clip((tr - 1) / 2, -1.0, 1.0)))
+        return t + ang
+
+    # ------------------------------------------------------------------ #
+    # leaf / non-leaf training loops
+    def sample_training_frame(self, visited: List[int]) -> int:
+        """70% recent-half bias (ht3dgs_trainer.py:482-507)."""
+        last = max(1, len(visited) // 2)
+        if self.rng.random() < 0.7:
+            i = self.rng.randint(last, len(visited) - 1)
+        else:
+            i = self.rng.randint(1, last)
+        return visited[i]
+
+    def _frame_camera_gt(self, bundle: ModelBundle, fidx: int,
+                         use_vfi: bool):
+        """Pick (camera, gt) for one training iteration — original frame, or
+        the VFI midway frame with its adjusted pose (MSS phase 2,
+        ht3dgs_trainer.py:530-545)."""
+        pose = bundle.get_RT(fidx)
+        if use_vfi:
+            half = self.pose_dict.get(f"rel_pose_{fidx}_to_{fidx}.5")
+            if half is not None:
+                pose = half @ pose
+            gt = self.get_vfi(fidx)
+        else:
+            gt = self.load_image(fidx)
+        return self.camera_for(fidx, pose=pose), gt
+
+    def train_leaf(self, bundle: ModelBundle, view_idx: int,
+                   view_idx_prev: int, visited: List[int]):
+        """train_leaf_3DGS (ht3dgs_trainer.py:510-585)."""
+        o = self.sched
+        use_vfi_mss = ("vfi" in self.pipe_cfg.multi_source_supervision
+                       and self.vfi_provider is not None)
+
+        if self.just_reset:
+            self.just_reset = False
+            for _ in range(1, self.sched.reset_recovery_iters):
+                fidx = self.rng.randint(0, view_idx_prev)
+                self.global_iteration += 1
+                cam, gt = self._frame_camera_gt(bundle, fidx, False)
+                self.host_train_step(
+                    bundle, cam, gt, self.global_iteration,
+                    densification_interval=o.densification_interval_leaf)
+
+        for it in range(1, o.single_step + 1):
+            fidx = self.sample_training_frame(visited)
+            self.global_iteration += 1
+            use_vfi = (use_vfi_mss and fidx + 1 < self.seq_len
+                       and self.rng.random() < o.mss_phase2_ratio)
+            cam, gt = self._frame_camera_gt(bundle, fidx, use_vfi)
+            m = self.host_train_step(
+                bundle, cam, gt, self.global_iteration,
+                densification_interval=o.densification_interval_leaf)
+            if self.global_iteration % 1000 == 0:
+                bundle.state = G.oneup_sh_degree(bundle.state)
+            if it % 100 == 0:
+                self.logger.info(
+                    f"[leaf] git {self.global_iteration} it {it} "
+                    f"psnr {float(m['psnr']):.2f} "
+                    f"n={int(bundle.state.n_live())}")
+
+    def train_nonleaf_phase2(self, bundle: ModelBundle, indices: List[int],
+                             num_iterations: int):
+        """Replay all segment frames + VFI (ht3dgs_trainer.py:588-641)."""
+        o = dataclasses.replace(
+            self.sched,
+            densification_interval=self.sched.mss_phase2_densification_interval)
+        if self.sched.mss_phase2_densify_until_iter_ratio is not None:
+            o.densify_until_iter = int(
+                num_iterations * self.sched.mss_phase2_densify_until_iter_ratio)
+        use_vfi_mss = ("vfi" in self.pipe_cfg.multi_source_supervision
+                       and self.vfi_provider is not None)
+        for it in range(1, num_iterations + 1):
+            fidx = self.rng.choice(indices)
+            self.global_iteration += 1
+            use_vfi = (use_vfi_mss and fidx + 1 < self.seq_len
+                       and self.rng.random() < o.mss_phase2_ratio)
+            cam, gt = self._frame_camera_gt(bundle, fidx, use_vfi)
+            m = self.host_train_step(bundle, cam, gt, self.global_iteration,
+                                     sched=o)
+            if self.global_iteration % 1000 == 0:
+                bundle.state = G.oneup_sh_degree(bundle.state)
+            if it % 100 == 0:
+                self.logger.info(
+                    f"[nonleaf p2] git {self.global_iteration} it {it} "
+                    f"psnr {float(m['psnr']):.2f} "
+                    f"n={int(bundle.state.n_live())}")
+
+    def train_nonleaf_phase1(self, bundle: ModelBundle,
+                             children: List[ModelBundle]):
+        """Pseudo-views rendered by frozen children at SE(3)-interpolated
+        poses (MSS phase 1, ht3dgs_trainer.py:815-914)."""
+        indices = sorted({f for c in children for f in c.to_visit_frames})
+        o = dataclasses.replace(self.sched)
+        if self.sched.mss_phase1_densification_interval is not None:
+            o.densification_interval = \
+                self.sched.mss_phase1_densification_interval
+        num_iterations = self.sched.mss_phase1_iteration_per_frame * len(indices)
+        if self.sched.mss_phase1_densify_until_iter_ratio is not None:
+            o.densify_until_iter = int(
+                num_iterations * self.sched.mss_phase1_densify_until_iter_ratio)
+
+        for it in range(1, num_iterations + 1):
+            fidx = self.rng.choice(indices)
+            self.global_iteration += 1
+            if self.rng.random() < self.sched.mss_phase1_ratio:
+                alpha = self.rng.random()
+                if fidx == indices[-1]:
+                    fidx -= 1
+                p0 = se3.se3_from_matrix(jnp.asarray(bundle.get_RT(fidx)))
+                p1 = se3.se3_from_matrix(jnp.asarray(bundle.get_RT(fidx + 1)))
+                pose_i = np.asarray(
+                    se3.se3_to_matrix(se3.se3_interp(p0, p1, alpha)),
+                    np.float32)
+                child = None
+                for c in children[::-1]:
+                    if fidx >= c.start_fidx and fidx in c.to_visit_frames:
+                        child = c
+                        break
+                if child is None:
+                    raise ValueError(f"no child covers frame {fidx}")
+                pose_wrt_child = pose_i @ np.linalg.inv(
+                    bundle.get_RT(child.start_fidx))
+                cam_child = self.camera_for(0, pose=pose_wrt_child)
+                pseudo = np.asarray(step_lib.render_eval(
+                    child.state, cam_child, mode=self._mode,
+                    tile_args=self._tile_args)["image"])
+                cam = self.camera_for(0, pose=pose_i)
+                m = self.host_train_step(bundle, cam, pseudo,
+                                         self.global_iteration, sched=o)
+            else:
+                cam, gt = self._frame_camera_gt(bundle, fidx, False)
+                m = self.host_train_step(bundle, cam, gt,
+                                         self.global_iteration, sched=o)
+            if self.global_iteration % 1000 == 0:
+                bundle.state = G.oneup_sh_degree(bundle.state)
+            if it % 100 == 0:
+                self.logger.info(
+                    f"[nonleaf p1] git {self.global_iteration} it {it} "
+                    f"psnr {float(m['psnr']):.2f}")
+
+    # ------------------------------------------------------------------ #
+    # merge (ht3dgs_trainer.py:214-272, 1427-1462)
+    def calc_importance(self, bundle: ModelBundle,
+                        frame_indices: List[int]) -> np.ndarray:
+        """c3dgs-style color importance: Σ_cams |∂ Σpix / ∂ SH| / n_pixels,
+        max over coefficients."""
+
+        from ..raster import render as render_fn
+
+        mode = self._mode
+        tile_args = dict(self._tile_args) if self._tile_args else None
+
+        @jax.jit
+        def grads_for(state, camera):
+            def total(sh_dc, sh_rest):
+                s = dataclasses.replace(state, sh_dc=sh_dc, sh_rest=sh_rest)
+                out = render_fn(s, camera, mode=mode, tile_args=tile_args)
+                return jnp.sum(out["image"])
+
+            g_dc, g_rest = jax.grad(total, argnums=(0, 1))(
+                state.sh_dc, state.sh_rest)
+            return jnp.abs(g_dc), jnp.abs(g_rest)
+
+        acc_dc = np.zeros_like(np.asarray(bundle.state.sh_dc))
+        acc_rest = np.zeros_like(np.asarray(bundle.state.sh_rest))
+        n_pix = 0
+        for fidx in frame_indices:
+            cam = self.camera_for(fidx, pose=bundle.get_RT(fidx))
+            g_dc, g_rest = grads_for(bundle.state, cam)
+            acc_dc += np.asarray(g_dc)
+            acc_rest += np.asarray(g_rest)
+            n_pix += cam.height * cam.width
+        imp = np.concatenate(
+            [acc_dc.reshape(len(acc_dc), -1),
+             acc_rest.reshape(len(acc_rest), -1)], axis=1) / n_pix
+        return imp.max(axis=1)
+
+    def merge_two(self, dst: ModelBundle, src: ModelBundle,
+                  transform: np.ndarray):
+        """Importance-prune both, SE(3)-transform src into dst's frame,
+        concatenate. Fresh Adam afterwards (the reference re-creates the
+        optimizer post-merge, so no moment surgery is needed)."""
+        ratio = self.pipe_cfg.prune_ratio
+        self.logger.info(
+            f"[merge] dst n={int(dst.state.n_live())} "
+            f"src n={int(src.state.n_live())}")
+
+        imp_dst = self.calc_importance(dst, dst.to_visit_frames)
+        dst.state, dst.opt = step_lib.jit_importance_prune(
+            dst.state, dst.opt, jnp.asarray(imp_dst), jnp.asarray(ratio))
+        imp_src = self.calc_importance(src, src.to_visit_frames)
+        src_state, _ = step_lib.jit_importance_prune(
+            src.state, src.opt, jnp.asarray(imp_src), jnp.asarray(ratio))
+
+        # host-side concat of live rows (merge happens a handful of times;
+        # host copies are fine and keep capacity management simple)
+        dstd = {f: np.asarray(getattr(dst.state, f)) for f in G.PARAM_FIELDS}
+        srcd = {f: np.asarray(getattr(src_state, f)) for f in G.PARAM_FIELDS}
+        live_d = np.asarray(dst.state.live)
+        live_s = np.asarray(src_state.live)
+
+        pts = srcd["means"][live_s]
+        hom = np.concatenate([pts, np.ones((len(pts), 1), np.float32)], axis=1)
+        aligned = hom @ transform.T.astype(np.float32)
+        srcd["means"] = np.zeros_like(srcd["means"])
+        srcd["means"][live_s] = aligned[:, :3] / aligned[:, 3:4]
+
+        n_total = int(live_d.sum() + live_s.sum())
+        cap = _round_capacity(int(n_total * 1.5))
+        merged = {}
+        for f in G.PARAM_FIELDS:
+            rows = np.concatenate([dstd[f][live_d], srcd[f][live_s]], axis=0)
+            out = np.zeros((cap,) + rows.shape[1:], rows.dtype)
+            out[:n_total] = rows
+            merged[f] = jnp.asarray(out)
+        live = np.zeros(cap, bool)
+        live[:n_total] = True
+        zeros = jnp.zeros((cap,), jnp.float32)
+        dst.state = dataclasses.replace(
+            dst.state, **merged, live=jnp.asarray(live),
+            max_radii2d=zeros, grad_accum=zeros, grad_denom=zeros)
+        dst.fresh_adam()
+        dst.radius = max(dst.radius, src.radius)
+        self.logger.info(f"[merge] merged n={n_total} cap={cap}")
+
+    # ------------------------------------------------------------------ #
+    # the driver (ht3dgs_trainer.py:664-813)
+    def derive_schedule(self):
+        o = self.sched
+        o.single_step = self.optim_cfg.single_step
+        num_iterations = o.single_step * (self.seq_len // 10) * 10
+        o.iterations = num_iterations
+        o.position_lr_max_steps = num_iterations
+        o.opacity_reset_interval = max(num_iterations // 10, 1)
+        o.densify_until_iter = num_iterations
+        o.reset_until_iter = int(num_iterations * 0.8)
+        o.densify_from_iter = o.single_step
+
+    def hierarchical_training(self):
+        self.derive_schedule()
+        os.makedirs(f"{self.result_path}/chkpnt", exist_ok=True)
+        os.makedirs(f"{self.result_path}/pose", exist_ok=True)
+
+        if self.pipe_cfg.load_pose and os.path.exists(self.pipe_cfg.load_pose):
+            self.load_pose_dict(self.pipe_cfg.load_pose)
+            self.logger.info(f"loaded poses from {self.pipe_cfg.load_pose}")
+
+        # Phase A — relative poses for every adjacent pair
+        for fidx in range(1, self.seq_len):
+            self.compute_relative_pose(fidx, fidx - 1)
+
+        # Phase B — partition
+        lists = self.partition(self.seq_len, self.train_level)
+        self.logger.info(f"partition: {lists}")
+
+        use_base = "base" in self.pipe_cfg.multi_source_supervision
+        # bundles[level][segment]
+        bundles: Dict[int, List[Optional[ModelBundle]]] = {
+            lv: [None] * len(lists[lv]) for lv in lists}
+
+        for level in range(self.train_level, -1, -1):
+            seg_lists = lists[level]
+            for seg_idx, frames in enumerate(seg_lists):
+                self.logger.info(f"level {level} seg {seg_idx}: {frames}")
+                if level == self.train_level:
+                    bundle = self._train_leaf_segment(frames)
+                    bundles[level][seg_idx] = bundle
+                else:
+                    bundle = bundles[level][seg_idx]  # restored from child
+                    if use_base:
+                        children = bundles[level + 1][seg_idx * 2:
+                                                      seg_idx * 2 + 2]
+                        self.global_iteration = bundle.global_iteration
+                        self.train_nonleaf_phase1(bundle, children)
+                    n_it = self.sched.num_iterations_per_frame_each_level[
+                        level] * len(frames)
+                    self.train_nonleaf_phase2(bundle, frames, n_it)
+                bundle.global_iteration = self.global_iteration
+
+                if (seg_idx + 1) % 2 == 0:
+                    prev = bundles[level][seg_idx - 1]
+                    # destination at level-1 restores the left sibling
+                    dst = ModelBundle(
+                        state=prev.state, opt=prev.opt, radius=prev.radius,
+                        spatial_scale=prev.spatial_scale,
+                        poses=prev.poses.copy(),
+                        start_fidx=prev.start_fidx,
+                        to_visit_frames=list(prev.to_visit_frames))
+                    pose_between = dst.get_RT(bundle.start_fidx)
+                    self.merge_two(dst, bundle,
+                                   np.linalg.inv(pose_between))
+                    # chain poses for the newly covered frames
+                    for pf in frames:
+                        if pf in seg_lists[seg_idx - 1]:
+                            continue
+                        rel = self.pose_dict[f"rel_pose_{pf - 1}_to_{pf}"]
+                        dst.set_RT(pf, rel @ dst.get_RT(pf - 1))
+                    dst.global_iteration = 0
+                    dst.to_visit_frames = sorted(
+                        set(bundle.to_visit_frames + dst.to_visit_frames))
+                    bundles[level - 1][(seg_idx - 1) // 2] = dst
+
+        self.gs_bundle = bundles[0][0]
+        self.evaluate_on_training_images()
+        self.save_checkpoint()
+        return self.gs_bundle
+
+    def _train_leaf_segment(self, frames: List[int]) -> ModelBundle:
+        """Leaf: init on first frame, then walk the segment chaining poses
+        (driver leaf branch, ht3dgs_trainer.py:729-764)."""
+        f0 = frames[0]
+        pcd = self.prepare_pcd(f0)
+        bundle = self.make_model(pcd)
+        bundle.poses = np.tile(np.eye(4, dtype=np.float32),
+                               (self.seq_len, 1, 1))
+        bundle.start_fidx = f0
+        bundle.to_visit_frames = frames
+        self.global_iteration = 0
+        self.just_reset = False
+
+        # init_leaf_3DGS: 1000 iters on the first frame, densify off
+        self.logger.info(f"[leaf init] frame {f0}")
+        self.fit_single_image(bundle, f0, self.sched.leaf_init_iters, early_stop=False,
+                              depth_gt=self.get_depth(f0)
+                              if self.sched.lambda_depth else None)
+        bundle.fresh_adam()   # training_setup(fit_pose=True) recreates Adam
+
+        visited = [f0]
+        for fidx in frames[1:]:
+            rel = self.pose_dict[f"rel_pose_{fidx - 1}_to_{fidx}"]
+            bundle.set_RT(fidx, rel @ bundle.get_RT(fidx - 1))
+            visited.append(fidx)
+            self.train_leaf(bundle, fidx, fidx - 1, visited)
+            psnr, _ = self.render_frame(bundle, fidx)
+            self.logger.info(
+                f"Frames {fidx:03d}/{self.seq_len - 1}, PSNR : {psnr:.3f}")
+        return bundle
+
+    # ------------------------------------------------------------------ #
+    def render_frame(self, bundle: ModelBundle, fidx: int):
+        cam = self.camera_for(fidx, pose=bundle.get_RT(fidx))
+        out = step_lib.render_eval(bundle.state, cam, mode=self._mode,
+                                   tile_args=self._tile_args)
+        gt = self.load_image(fidx)
+        from .losses import psnr as psnr_fn
+
+        p = float(psnr_fn(out["image"], jnp.asarray(gt)))
+        return p, out
+
+    def evaluate_on_training_images(self):
+        psnrs = []
+        for fidx in range(self.seq_len):
+            p, _ = self.render_frame(self.gs_bundle, fidx)
+            psnrs.append(p)
+            self.logger.info(f"Frame {fidx}: PSNR = {p:.3f}")
+        mean_psnr = float(np.mean(psnrs))
+        self.logger.info(f"train-view mean PSNR: {mean_psnr:.3f}")
+        print(f"train-view mean PSNR: {mean_psnr:.3f}")
+        return mean_psnr
+
+    # ------------------------------------------------------------------ #
+    # pose-only mode (ht3dgs_trainer.py:916-962)
+    def train_pose_only(self):
+        self.derive_schedule()
+        os.makedirs(f"{self.result_path}/pose", exist_ok=True)
+        for fidx in range(1, self.seq_len):
+            self.compute_relative_pose(fidx, fidx - 1)
+        poses = [np.eye(4, dtype=np.float32)]
+        for fidx in range(1, self.seq_len):
+            rel = self.pose_dict[f"rel_pose_{fidx - 1}_to_{fidx}"]
+            poses.append(rel @ poses[-1])
+        self.pose_dict["poses_pred"] = np.stack(poses)
+        self.save_pose_dict(f"{self.result_path}/pose/pose.npz")
+        return self.pose_dict["poses_pred"]
+
+    # ------------------------------------------------------------------ #
+    # checkpointing (capture/restore parity: params + stats + opt + poses,
+    # /root/reference/scene/gaussian_model_ht.py:90-124)
+    def save_checkpoint(self, path: Optional[str] = None):
+        b = self.gs_bundle
+        path = path or f"{self.result_path}/chkpnt/model.npz"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        arrs = {f: np.asarray(getattr(b.state, f)) for f in G.PARAM_FIELDS}
+        arrs.update(
+            live=np.asarray(b.state.live),
+            max_radii2d=np.asarray(b.state.max_radii2d),
+            grad_accum=np.asarray(b.state.grad_accum),
+            grad_denom=np.asarray(b.state.grad_denom),
+            active_sh_degree=np.asarray(b.state.active_sh_degree),
+            max_sh_degree=np.asarray(b.state.max_sh_degree),
+            poses=b.poses if b.poses is not None else np.zeros((0, 4, 4)),
+            radius=np.asarray(b.radius),
+            spatial_scale=np.asarray(b.spatial_scale),
+            adam_step=np.asarray(b.opt.step),
+        )
+        for f in G.PARAM_FIELDS:
+            arrs[f"adam_m_{f}"] = np.asarray(b.opt.m[f])
+            arrs[f"adam_v_{f}"] = np.asarray(b.opt.v[f])
+        np.savez_compressed(path, **arrs)
+        self.logger.info(f"checkpoint -> {path}")
+
+        pose_path = f"{self.result_path}/pose/pose.npz"
+        if b.poses is not None:
+            self.pose_dict["poses_pred"] = b.poses[:self.seq_len]
+        self.save_pose_dict(pose_path)
+
+    def load_checkpoint(self, path: str) -> ModelBundle:
+        z = np.load(path)
+        state = GaussianState(
+            **{f: jnp.asarray(z[f]) for f in G.PARAM_FIELDS},
+            live=jnp.asarray(z["live"]),
+            max_radii2d=jnp.asarray(z["max_radii2d"]),
+            grad_accum=jnp.asarray(z["grad_accum"]),
+            grad_denom=jnp.asarray(z["grad_denom"]),
+            active_sh_degree=jnp.asarray(z["active_sh_degree"]),
+            max_sh_degree=int(z["max_sh_degree"]),
+        )
+        opt = adam_lib.AdamState(
+            m={f: jnp.asarray(z[f"adam_m_{f}"]) for f in G.PARAM_FIELDS},
+            v={f: jnp.asarray(z[f"adam_v_{f}"]) for f in G.PARAM_FIELDS},
+            step=jnp.asarray(z["adam_step"]))
+        bundle = ModelBundle(
+            state=state, opt=opt, radius=float(z["radius"]),
+            spatial_scale=float(z["spatial_scale"]),
+            poses=z["poses"] if z["poses"].size else None)
+        self.gs_bundle = bundle
+        return bundle
+
+    def save_pose_dict(self, path: str):
+        np.savez_compressed(path, **self.pose_dict)
+        self.logger.info(f"poses -> {path}")
+
+    def load_pose_dict(self, path: str):
+        self.pose_dict = dict(np.load(path))
+
+    # ------------------------------------------------------------------ #
+    # eval / render modes (implemented in train.evals)
+    def eval_nvs(self, **kw):
+        from . import evals
+
+        return evals.eval_nvs(self, **kw)
+
+    def eval_pose(self, **kw):
+        from . import evals
+
+        return evals.eval_pose(self, **kw)
+
+    def render_nvs(self, **kw):
+        from . import evals
+
+        return evals.render_nvs(self, **kw)

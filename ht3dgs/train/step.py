@@ -91,6 +91,7 @@ def gaussian_train_step(
         "loss_depth": ld["loss_depth"],
         "psnr": psnr(out["image"], gt_image),
         "n_visible": jnp.sum((out["radii"] > 0).astype(jnp.int32)),
+        "n_dropped": out.get("n_dropped", jnp.asarray(0, jnp.int32)),
     }
     return state, new_opt, metrics
 
@@ -153,3 +154,4 @@ def render_eval(state: GaussianState, camera: Camera,
 # jitted wrappers for the compaction ops (thresholds traced => no recompile)
 densify_and_prune = jax.jit(densify_lib.densify_and_prune)
 reset_opacity = jax.jit(densify_lib.reset_opacity)
+jit_importance_prune = jax.jit(densify_lib.importance_prune)
