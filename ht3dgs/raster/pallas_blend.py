@@ -1,29 +1,26 @@
-"""Pallas TPU kernel for the per-tile alpha-blend (the rasterizer hot loop).
+"""Pallas TPU kernels for the per-tile alpha-blend (the rasterizer hot loop).
 
 The binning front-end (raster/tiled.py) produces per-tile front-to-back
-entry lists; this kernel composites them. Design (per pallas_guide.md):
+entry lists packed as [T, K, ATTRS=16] rows; these kernels composite them.
 
-- grid over tiles; BlockSpec streams one tile's pre-gathered entry block
-  [K, ATTRS=16] HBM->VMEM with automatic double buffering while the previous
-  tile computes; per-tile meta (entry count, tile origin) rides the scalar-
-  prefetch path in SMEM. Chunks are sliced on the sublane axis (8-aligned);
-  the pixel axis P (= tile_h·tile_w = 256 for 16×16 tiles) is the last dim
-  of all compute shapes — VPU-native (8, 128) tiling.
-- entries are processed in chunks of C=8: alpha [C, P] on the VPU, the
-  in-chunk sequential transmittance as an unrolled exclusive product, and
-  the rgb+depth accumulation as a [4, C] × [C, P] matmul on the MXU.
-- per-chunk early-out: once every pixel's transmittance is below the 1e-4
-  stop threshold, or the entry count is exhausted, remaining chunks are
-  skipped (lax.cond), mirroring the CUDA reference's per-tile early
-  termination.
+Kernel structure (v2, per pallas_guide.md):
+- 2D grid (tile-block, entry-chunk): each program owns TB=8 tiles and one
+  C=64-entry chunk of each. Mosaic's pipeline double-buffers the next
+  [TB, C, 16] entry block from HBM while the current one computes.
+- accumulators (rgb, depth, transmittance) live in VMEM scratch that
+  persists across the sequential entry-chunk axis; initialized at chunk 0,
+  flushed to the output block at the last chunk.
+- compute: alpha [TB, 8, P] on the VPU; the sequential front-to-back
+  transmittance runs on [TB, 1, P] vectors (2048 lanes — full VPU rows);
+  color/depth accumulation is a batched [TB](4×8 · 8×P) matmul on the MXU.
+- per-tile meta (entry count, tile origin) rides the scalar-prefetch path.
+- early-out: a chunk is skipped entirely once every tile in the block is
+  past its entry count or transmittance-saturated (CUDA early termination).
 
-Output is one [T, 8, P] buffer (rows: r, g, b, depth, T_final, pad) —
-a single aligned store per tile.
-
-Backward: `blend_pallas` is wrapped in jax.custom_vjp in tiled.py; the VJP
-replays the mathematically identical jnp chunked blend under jax.vjp — same
-semantics, XLA-compiled — so gradients stay exact while the forward runs at
-kernel speed. A hand-written backward kernel is the next optimization.
+Backward: `blend_pallas` is wrapped in jax.custom_vjp; the VJP replays the
+mathematically identical jnp chunked blend (log-space cumulative products —
+cumsum VJPs are cheap on TPU) under jax.vjp, so gradients stay exact while
+the forward runs at kernel speed.
 """
 
 from __future__ import annotations
@@ -37,114 +34,147 @@ import numpy as np
 
 from .projection import ALPHA_MAX, ALPHA_MIN, T_EPS
 
-ATTRS = 16   # attribute rows: mx,my,ca,cb,cc,r,g,b,op,depth,(pad)
-CHUNK = 8
-OUT_ROWS = 8  # r,g,b,depth,Tfinal,(pad)
+ATTRS = 16    # packed row: mx,my,ca,cb,cc,r,g,b,op,depth,radius,pad...
+TB = 8        # tiles per program
+SUB = 8       # entries per sequential micro-step
+C_STEP = 64   # entries per grid step (per tile)
+OUT_ROWS = 8  # r,g,b,depth,Tfinal,pad...
 
 
-def _blend_tile_kernel(meta_ref, ent_ref, out_ref, *, K: int, P: int,
-                       tile_w: int):
-    """One grid step = one tile. ent_ref: [1, K, ATTRS] VMEM;
-    meta_ref: scalar-prefetch [T*4] int32 (count, origin_x, origin_y, pad)
-    per tile; out_ref: [1, OUT_ROWS, P]."""
+def _blend_kernel_v2(meta_ref, aux_ref, ent_ref, out_ref, acc_ref, *,
+                     K: int, P: int, tile_w: int, n_chunks: int):
+    """Grid (T/TB, K/C_STEP). aux_ref [TB, 8, P] (rows: px, py, count);
+    ent_ref [TB, C_STEP, ATTRS]; out_ref [TB, OUT_ROWS, P]; acc_ref scratch
+    [TB, OUT_ROWS, P] persistent across the entry-chunk axis. Scalars
+    (meta_ref prefetch) are used only for control flow — Mosaic cannot
+    build vectors from SMEM scalars."""
     from jax.experimental import pallas as pl
 
-    t = pl.program_id(0)
-    n = meta_ref[4 * t]
-    ox = meta_ref[4 * t + 1].astype(jnp.float32)
-    oy = meta_ref[4 * t + 2].astype(jnp.float32)
-    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    pxv = ox + (pidx % tile_w).astype(jnp.float32)   # [1, P]
-    pyv = oy + (pidx // tile_w).astype(jnp.float32)
+    i = pl.program_id(0)
+    c = pl.program_id(1)
 
-    acc0 = jnp.zeros((4, P), jnp.float32)   # r, g, b, depth
-    tbuf0 = jnp.ones((1, P), jnp.float32)
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:, 0:4, :] = jnp.zeros((TB, 4, P), jnp.float32)
+        acc_ref[:, 4:5, :] = jnp.ones((TB, 1, P), jnp.float32)
 
-    n_chunks = K // CHUNK
+    pxv = aux_ref[:, 0:1, :]                         # [TB, 1, P]
+    pyv = aux_ref[:, 1:2, :]
+    n_vec = aux_ref[:, 2:3, :]                       # float32 counts
 
-    def chunk_body(ci, carry):
-        acc, tbuf = carry
+    # scalar max entry count over this tile block (SMEM scalar ops)
+    max_n = meta_ref[4 * (i * TB)]
+    for j in range(1, TB):
+        max_n = jnp.maximum(max_n, meta_ref[4 * (i * TB + j)])
 
-        def do(carry):
-            acc, tbuf = carry
-            start = pl.multiple_of(ci * CHUNK, CHUNK)
-            block = ent_ref[0, pl.ds(start, CHUNK), :]  # [CHUNK, ATTRS]
-            mx = block[:, 0:1]                      # [C, 1]
-            my = block[:, 1:2]
-            ca = block[:, 2:3]
-            cb = block[:, 3:4]
-            cc = block[:, 4:5]
-            op = block[:, 8:9]
-            idxv = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-            evalid = (ci * CHUNK + idxv) < n
+    tbuf0 = acc_ref[:, 4:5, :]
+    live = (c * C_STEP < max_n) & (jnp.max(tbuf0) >= T_EPS)
 
-            dx = pxv - mx                           # [C, P]
+    @pl.when(live)
+    def _():
+        def sub_body(sub, carry):
+            acc, tb = carry
+            start = pl.multiple_of(sub * SUB, SUB)
+            block = ent_ref[:, pl.ds(start, SUB), :]  # [TB,SUB,A]
+            mx = block[:, :, 0][:, :, None]           # [TB, SUB, 1]
+            my = block[:, :, 1][:, :, None]
+            ca = block[:, :, 2][:, :, None]
+            cb = block[:, :, 3][:, :, None]
+            cc = block[:, :, 4][:, :, None]
+            op = block[:, :, 8][:, :, None]
+            e0 = c * C_STEP + sub * SUB
+            idxv = (e0 + jax.lax.broadcasted_iota(
+                jnp.int32, (1, SUB, 1), 1)).astype(jnp.float32)
+            evalid = idxv < n_vec                     # [TB, SUB, P] bcast
+
+            dx = pxv - mx                             # [TB, SUB, P]
             dy = pyv - my
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
             alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN) & evalid,
                               alpha, 0.0)
 
-            # sequential front-to-back over the C=8 chunk, fully unrolled:
-            # per-entry weight alpha_i * T_before, early-stop when the next
-            # transmittance would cross T_EPS (CUDA reference semantics;
-            # expressed without cumprod/reduce_prod, which Mosaic lacks)
-            tb = tbuf                               # [1, P]
+            # sequential front-to-back, unrolled over SUB; [TB, 1, P] vector
+            # ops (2048 lanes). No cumprod: Mosaic lacks reduce_prod.
             w_rows = []
-            for c in range(CHUNK):
-                a = alpha[c:c + 1, :]
+            for s in range(SUB):
+                a = alpha[:, s:s + 1, :]
                 tb_next = tb * (1.0 - a)
                 keep = tb_next >= T_EPS
                 w_rows.append(jnp.where(keep, a * tb, 0.0))
                 tb = jnp.where(keep, tb_next, tb)
-            w = jnp.concatenate(w_rows, axis=0)     # [C, P]
+            w = jnp.concatenate(w_rows, axis=1)       # [TB, SUB, P]
 
             attr = jnp.concatenate(
-                [block[:, 5:8], block[:, 9:10]], axis=1)  # [C, 4]
+                [block[:, :, 5:8], block[:, :, 9:10]], axis=2)  # [TB,SUB,4]
+            attr_t = jnp.swapaxes(attr, 1, 2)                   # [TB,4,SUB]
             acc = acc + jax.lax.dot_general(
-                attr, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)    # [4, P]
+                attr_t, w,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)   # [TB, 4, P]
             return acc, tb
 
-        live = (ci * CHUNK < n) & (jnp.max(tbuf) >= T_EPS)
-        return jax.lax.cond(live, do, lambda c: c, (acc, tbuf))
+        acc, tb = jax.lax.fori_loop(
+            0, C_STEP // SUB, sub_body,
+            (acc_ref[:, 0:4, :], acc_ref[:, 4:5, :]))
+        acc_ref[:, 0:4, :] = acc
+        acc_ref[:, 4:5, :] = tb
 
-    acc, tbuf = jax.lax.fori_loop(0, n_chunks, chunk_body, (acc0, tbuf0))
-    out = jnp.concatenate(
-        [acc, tbuf, jnp.zeros((OUT_ROWS - 5, P), jnp.float32)], axis=0)
-    out_ref[0, :, :] = out
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out_ref[:, :, :] = acc_ref[:, :, :]
 
 
 def blend_tiles_pallas(ent: jax.Array, meta: jax.Array, *, tile_h: int,
                        tile_w: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """ent: [T, K, ATTRS] packed entry-major rows; meta: [T, 4] int32
-    (count, origin_x, origin_y, pad). Returns (rgb [T,P,3], T_buf [T,P],
-    dep [T,P])."""
+    """ent: [T, K, ATTRS] packed entries; meta: [T, 4] int32 (count,
+    origin_x, origin_y, pad). Returns (rgb [T,P,3], T_buf [T,P], dep [T,P])."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     T, K, _ = ent.shape
-    assert K % CHUNK == 0
     P = tile_h * tile_w
 
-    kernel = functools.partial(_blend_tile_kernel, K=K, P=P, tile_w=tile_w)
+    # pad tiles to a TB multiple and entries to a C_STEP multiple
+    T_pad = (-T) % TB
+    K_pad = (-K) % C_STEP
+    if T_pad or K_pad:
+        ent = jnp.pad(ent, ((0, T_pad), (0, K_pad), (0, 0)))
+        meta = jnp.pad(meta, ((0, T_pad), (0, 0)))
+    Tp = T + T_pad
+    Kp = K + K_pad
+    n_chunks = Kp // C_STEP
+
+    # aux rows per tile: pixel x / pixel y / entry count (vector-friendly)
+    pix = jnp.arange(P, dtype=jnp.int32)
+    px = meta[:, 1, None].astype(jnp.float32) + (pix % tile_w)[None, :]
+    py = meta[:, 2, None].astype(jnp.float32) + (pix // tile_w)[None, :]
+    cnt = jnp.broadcast_to(meta[:, 0, None].astype(jnp.float32), (Tp, P))
+    aux = jnp.stack([px, py, cnt] + [jnp.zeros_like(px)] * 5, axis=1)
+
+    kernel = functools.partial(_blend_kernel_v2, K=Kp, P=P, tile_w=tile_w,
+                               n_chunks=n_chunks)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(Tp // TB, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, K, ATTRS), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((TB, 8, P), lambda i, c, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, C_STEP, ATTRS), lambda i, c, *_: (i, c, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, OUT_ROWS, P), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((TB, OUT_ROWS, P), lambda i, c, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TB, OUT_ROWS, P), jnp.float32)],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, OUT_ROWS, P), jnp.float32),
-    )(meta.reshape(-1), ent)
+        out_shape=jax.ShapeDtypeStruct((Tp, OUT_ROWS, P), jnp.float32),
+    )(meta.reshape(-1), aux, ent)
 
+    out = out[:T]
     rgb = jnp.moveaxis(out[:, 0:3, :], 1, 2)   # [T, P, 3]
     dep = out[:, 3, :]
     tbuf = out[:, 4, :]
@@ -154,8 +184,8 @@ def blend_tiles_pallas(ent: jax.Array, meta: jax.Array, *, tile_h: int,
 def _jnp_blend_from_ent(ent: jax.Array, meta: jax.Array, *, tile_h: int,
                         tile_w: int, chunk: int = 32):
     """Mathematically identical jnp blend over the packed entries — the
-    custom-VJP backward path (and the interpret-mode oracle for the
-    kernel)."""
+    default XLA path, the custom-VJP backward, and the interpret-mode
+    oracle for the kernel."""
     T, K, _ = ent.shape
     P = tile_h * tile_w
     tile_px = jnp.asarray(np.arange(P) % tile_w, jnp.float32)
@@ -187,7 +217,9 @@ def _jnp_blend_from_ent(ent: jax.Array, meta: jax.Array, *, tile_h: int,
         alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN) & evalid,
                           alpha, 0.0)
         one_minus = 1.0 - alpha
-        t_within = jnp.cumprod(one_minus, axis=1)
+        # cumulative product in log space: cumsum's VJP (a reverse cumsum)
+        # is far cheaper on TPU than cumprod's division-based transpose
+        t_within = jnp.exp(jnp.cumsum(jnp.log(one_minus), axis=1))
         t_excl = tbuf[:, None, :] * jnp.concatenate(
             [jnp.ones_like(t_within[:, :1]), t_within[:, :-1]], axis=1)
         t_after = tbuf[:, None, :] * t_within
@@ -196,7 +228,8 @@ def _jnp_blend_from_ent(ent: jax.Array, meta: jax.Array, *, tile_h: int,
 
         attr = jnp.concatenate([blk[:, :, 5:8], blk[:, :, 9:10]], axis=2)
         acc = acc + jnp.einsum("tcp,tca->tap", w, attr)
-        tbuf = tbuf * jnp.prod(jnp.where(kept, one_minus, 1.0), axis=1)
+        tbuf = tbuf * jnp.exp(
+            jnp.sum(jnp.where(kept, jnp.log(one_minus), 0.0), axis=1))
         return (acc, tbuf), None
 
     init = (jnp.zeros((T, 4, P), jnp.float32), jnp.ones((T, P), jnp.float32))
@@ -238,32 +271,3 @@ def blend_pallas(ent, meta, tile_h: int, tile_w: int):
     if key not in _BLEND_CACHE:
         _BLEND_CACHE[key] = _make_blend_vjp(tile_h, tile_w)
     return _BLEND_CACHE[key](ent, meta)
-
-
-def pack_entries(means2d, conics, colors, opac, depths, gid, entry_valid,
-                 ntx: int, tile_h: int, tile_w: int):
-    """Gather per-gaussian attrs into the packed [T, ATTRS, K] layout
-    (XLA gather — fast on TPU) + [T, 4] int32 meta."""
-    T, K = gid.shape
-    opac_e = jnp.where(entry_valid, jnp.take(opac, gid, axis=0), 0.0)
-    rows = [
-        jnp.take(means2d[:, 0], gid, axis=0),
-        jnp.take(means2d[:, 1], gid, axis=0),
-        jnp.take(conics[:, 0], gid, axis=0),
-        jnp.take(conics[:, 1], gid, axis=0),
-        jnp.take(conics[:, 2], gid, axis=0),
-        jnp.take(colors[:, 0], gid, axis=0),
-        jnp.take(colors[:, 1], gid, axis=0),
-        jnp.take(colors[:, 2], gid, axis=0),
-        opac_e,
-        jnp.take(depths, gid, axis=0),
-    ]
-    ent = jnp.stack(
-        rows + [jnp.zeros_like(rows[0])] * (ATTRS - len(rows)), axis=-1)
-    counts = jnp.sum(entry_valid.astype(jnp.int32), axis=1)
-    tid = jnp.arange(T, dtype=jnp.int32)
-    meta = jnp.stack([counts,
-                      (tid % ntx) * tile_w,
-                      (tid // ntx) * tile_h,
-                      jnp.zeros_like(tid)], axis=1)
-    return ent, meta

@@ -32,10 +32,17 @@ class SyntheticScene:
     depths: np.ndarray = None  # [F, H, W] expected ray depth
 
 
-def make_scene_states(n_gaussians=400, seed=0, spread=0.6, z_center=3.0):
+def make_scene_states(n_gaussians=400, seed=0, spread=0.7, z_center=3.0):
+    """Depth-rich random scene: z spans ~[z_center-1, z_center+2] so camera
+    rotation and translation are visually distinguishable (shallow scenes
+    make relative pose ill-conditioned — any SfM-free method needs
+    parallax)."""
     rng = np.random.default_rng(seed)
-    pts = rng.standard_normal((n_gaussians, 3)).astype(np.float32) * spread
-    pts[:, 2] += z_center
+    pts = np.stack([
+        rng.standard_normal(n_gaussians) * spread,
+        rng.standard_normal(n_gaussians) * spread * 0.75,
+        z_center - 1.0 + 3.0 * rng.random(n_gaussians),
+    ], axis=1).astype(np.float32)
     colors = rng.random((n_gaussians, 3)).astype(np.float32)
     state = G.create_from_pcd(pts, colors, capacity=n_gaussians)
     return state

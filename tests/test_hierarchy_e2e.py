@@ -93,8 +93,8 @@ def test_relative_pose_accuracy(dataset, tmp_path, monkeypatch):
     scene, img_dir = dataset
     monkeypatch.chdir(tmp_path)
     model, pipe, optim = tiny_cfg(img_dir)
-    optim.phase_a_fit_iters = 200
-    optim.phase_a_pose_iters = 150
+    optim.phase_a_fit_iters = 250
+    optim.phase_a_pose_iters = 300
     pipe.train_pose_mode = None   # direct (non-VFI) for a sharper check
     tr = HTGaussianTrainer(img_dir, model, pipe, optim, seed=0)
     tr.compute_relative_pose(1, 0)
@@ -105,7 +105,7 @@ def test_relative_pose_accuracy(dataset, tmp_path, monkeypatch):
     dR = rel[:3, :3] @ gt_rel[:3, :3].T
     ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
     assert ang < 3.0, f"rotation error {ang} deg"
-    assert np.linalg.norm(rel[:3, 3] - gt_rel[:3, 3]) < 0.1
+    assert np.linalg.norm(rel[:3, 3] - gt_rel[:3, 3]) < 0.08
 
 
 def test_partition_even_and_v1(dataset, tmp_path, monkeypatch):
