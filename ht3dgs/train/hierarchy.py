@@ -85,7 +85,8 @@ class HTGaussianTrainer(GaussianTrainer):
         # mutated schedule copy (hierarchical_training derives its own)
         self.sched = dataclasses.replace(optim_cfg)
         self._mode = pipe_cfg.render_mode
-        self._tile_args = None  # tuned per scene scale
+        self._tile_args = None  # tuned per scene scale (see _maybe_retune)
+        self._steps_since_tune = 0
 
     # ------------------------------------------------------------------ #
     # model construction
@@ -157,6 +158,20 @@ class HTGaussianTrainer(GaussianTrainer):
             tile_args=self._tile_args,
         )
         bundle.state, bundle.opt = state, opt
+
+        # auto-grow tile capacities when the tiled renderer reports entry
+        # drops (checked sparsely — reading the metric syncs the device)
+        self._steps_since_tune += 1
+        if self._mode in ("tiled", "pallas", "auto") \
+                and self._steps_since_tune >= 50:
+            self._steps_since_tune = 0
+            if int(metrics.get("n_dropped", 0)) > 0:
+                ta = dict(self._tile_args or {})
+                ta["max_per_tile"] = min(
+                    2 * ta.get("max_per_tile", 1024), 4096)
+                ta["dup_factor"] = min(2 * ta.get("dup_factor", 16), 64)
+                self._tile_args = tuple(sorted(ta.items()))
+                self.logger.info(f"tile capacity grown: {ta}")
 
         if do_densify:
             use_screen = iteration > o.opacity_reset_interval
