@@ -242,20 +242,144 @@ def _jnp_blend_from_ent(ent: jax.Array, meta: jax.Array, *, tile_h: int,
     return rgb, tbuf, dep
 
 
-def _make_blend_vjp(tile_h: int, tile_w: int):
+def _blend_bwd_analytic(ent: jax.Array, meta: jax.Array, cts, *,
+                        tile_h: int, tile_w: int, chunk: int = 32):
+    """Analytic VJP of the blend w.r.t. the packed entries.
+
+    Standard 3DGS backward identity, per pixel with front-to-back weights
+    w_i = α_i·T_i (T_i = transmittance before entry i, early-stop gated):
+
+      dL/dα_i = T_i·(a_i·dA) − [ Σ_{j>i} w_j·(a_j·dA) + T_out·dT ] / (1−α_i)
+      dL/da_i = w_i · dA
+
+    computed with TWO forward-ordered replays (pass A accumulates the total
+    Σ_j w_j (a_j·dA); pass B turns prefix sums into suffixes) — no reverse
+    scan, no rematerialization stack, and the structure ports directly to a
+    Pallas backward kernel. Matches JAX AD of `_jnp_blend_from_ent` away
+    from the (measure-zero) gating thresholds.
+    """
+    d_rgb, d_tbuf, d_dep = cts                     # [T,P,3], [T,P], [T,P]
+    dA = jnp.concatenate([jnp.moveaxis(d_rgb, 2, 1), d_dep[:, None, :]],
+                         axis=1)                   # [T, 4, P]
+
+    T_, K, _ = ent.shape
+    P = tile_h * tile_w
+    tile_px = jnp.asarray(np.arange(P) % tile_w, jnp.float32)
+    tile_py = jnp.asarray(np.arange(P) // tile_w, jnp.float32)
+    pxv = meta[:, 1].astype(jnp.float32)[:, None] + tile_px[None, :]
+    pyv = meta[:, 2].astype(jnp.float32)[:, None] + tile_py[None, :]
+    counts = meta[:, 0]
+
+    C = min(chunk, K)
+    n_chunks = K // C
+    ent_c = jnp.moveaxis(ent.reshape(T_, n_chunks, C, ATTRS), 1, 0)
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * C
+
+    def alpha_of(blk, base, tbuf):
+        mx = blk[:, :, 0][:, :, None]
+        my = blk[:, :, 1][:, :, None]
+        ca = blk[:, :, 2][:, :, None]
+        cb = blk[:, :, 3][:, :, None]
+        cc = blk[:, :, 4][:, :, None]
+        op = blk[:, :, 8][:, :, None]
+        idxv = base + jnp.arange(C, dtype=jnp.int32)[None, :]
+        evalid = (idxv < counts[:, None])[:, :, None]
+        dx = pxv[:, None, :] - mx
+        dy = pyv[:, None, :] - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        raw = op * jnp.exp(power)
+        alpha = jnp.minimum(ALPHA_MAX, raw)
+        gate = (power <= 0.0) & (alpha >= ALPHA_MIN) & evalid
+        alpha = jnp.where(gate, alpha, 0.0)
+        one_minus = 1.0 - alpha
+        t_within = jnp.exp(jnp.cumsum(jnp.log(one_minus), axis=1))
+        t_excl = tbuf[:, None, :] * jnp.concatenate(
+            [jnp.ones_like(t_within[:, :1]), t_within[:, :-1]], axis=1)
+        kept = tbuf[:, None, :] * t_within >= T_EPS
+        w = jnp.where(kept, alpha * t_excl, 0.0)
+        tbuf_next = tbuf * jnp.exp(
+            jnp.sum(jnp.where(kept, jnp.log(one_minus), 0.0), axis=1))
+        aux = (dx, dy, power, raw, gate, kept, t_excl, one_minus)
+        return alpha, w, tbuf_next, aux
+
+    # pass A: total per-pixel weighted cotangent sum + T_out
+    def passA(carry, xs):
+        s_tot, tbuf = carry
+        blk, base = xs
+        _, w, tbuf_next, _ = alpha_of(blk, base, tbuf)
+        a = jnp.concatenate([blk[:, :, 5:8], blk[:, :, 9:10]], axis=2)
+        a_dot = jnp.einsum("tca,tap->tcp", a, dA)   # [T, C, P]
+        s_tot = s_tot + jnp.sum(w * a_dot, axis=1)
+        return (s_tot, tbuf_next), None
+
+    (s_total, t_out), _ = jax.lax.scan(
+        passA, (jnp.zeros((T_, P), jnp.float32),
+                jnp.ones((T_, P), jnp.float32)), (ent_c, bases))
+
+    tail = t_out * d_tbuf                           # [T, P]
+
+    # pass B: prefix -> suffix, emit entry gradients
+    def passB(carry, xs):
+        s_pref, tbuf = carry
+        blk, base = xs
+        alpha, w, tbuf_next, aux = alpha_of(blk, base, tbuf)
+        dx, dy, power, raw, gate, kept, t_excl, one_minus = aux
+        a = jnp.concatenate([blk[:, :, 5:8], blk[:, :, 9:10]], axis=2)
+        a_dot = jnp.einsum("tca,tap->tcp", a, dA)   # [T, C, P]
+        contrib = w * a_dot
+        # prefix including entry i (within-chunk cumsum + carried prefix)
+        s_incl = s_pref[:, None, :] + jnp.cumsum(contrib, axis=1)
+        suffix = s_total[:, None, :] - s_incl       # Σ_{j>i}
+        d_alpha = jnp.where(
+            kept,
+            t_excl * a_dot - (suffix + tail[:, None, :]) / one_minus,
+            0.0)
+        # α = min(0.99, raw) gated
+        d_raw = jnp.where(gate & (raw < ALPHA_MAX), d_alpha, 0.0)
+        d_power = d_raw * raw                       # d(op·e^p)/dp = raw
+        d_op = jnp.sum(d_raw * jnp.exp(power), axis=2)
+        ca = blk[:, :, 2][:, :, None]
+        cb = blk[:, :, 3][:, :, None]
+        cc = blk[:, :, 4][:, :, None]
+        d_dx = d_power * (-(ca * dx) - cb * dy)
+        d_dy = d_power * (-(cc * dy) - cb * dx)
+        d_mx = -jnp.sum(d_dx, axis=2)
+        d_my = -jnp.sum(d_dy, axis=2)
+        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=2)
+        d_cb = jnp.sum(d_power * (-dx * dy), axis=2)
+        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=2)
+        d_a = jnp.einsum("tcp,tap->tca", w, dA)     # [T, C, 4]
+
+        zeros = jnp.zeros_like(d_mx)
+        d_blk = jnp.stack(
+            [d_mx, d_my, d_ca, d_cb, d_cc,
+             d_a[:, :, 0], d_a[:, :, 1], d_a[:, :, 2],
+             d_op, d_a[:, :, 3]]
+            + [zeros] * (ATTRS - 10), axis=-1)      # [T, C, ATTRS]
+        return (s_incl[:, -1, :], tbuf_next), d_blk
+
+    (_, _), d_chunks = jax.lax.scan(
+        passB, (jnp.zeros((T_, P), jnp.float32),
+                jnp.ones((T_, P), jnp.float32)), (ent_c, bases))
+    d_ent = jnp.moveaxis(d_chunks, 0, 1).reshape(T_, K, ATTRS)
+    return d_ent
+
+
+def _make_blend_vjp(tile_h: int, tile_w: int, forward: str):
     @jax.custom_vjp
     def blend(ent, meta):
-        return blend_tiles_pallas(ent, meta, tile_h=tile_h, tile_w=tile_w)
+        if forward == "pallas":
+            return blend_tiles_pallas(ent, meta, tile_h=tile_h,
+                                      tile_w=tile_w)
+        return _jnp_blend_from_ent(ent, meta, tile_h=tile_h, tile_w=tile_w)
 
     def fwd(ent, meta):
         return blend(ent, meta), (ent, meta)
 
     def bwd(res, cts):
         ent, meta = res
-        _, vjp_fn = jax.vjp(
-            lambda e: _jnp_blend_from_ent(e, meta, tile_h=tile_h,
-                                          tile_w=tile_w), ent)
-        (d_ent,) = vjp_fn(cts)
+        d_ent = _blend_bwd_analytic(ent, meta, cts, tile_h=tile_h,
+                                    tile_w=tile_w)
         d_meta = np.zeros(meta.shape, jax.dtypes.float0)
         return d_ent, d_meta
 
@@ -267,7 +391,15 @@ _BLEND_CACHE = {}
 
 
 def blend_pallas(ent, meta, tile_h: int, tile_w: int):
-    key = (tile_h, tile_w)
+    key = (tile_h, tile_w, "pallas")
     if key not in _BLEND_CACHE:
-        _BLEND_CACHE[key] = _make_blend_vjp(tile_h, tile_w)
+        _BLEND_CACHE[key] = _make_blend_vjp(tile_h, tile_w, "pallas")
+    return _BLEND_CACHE[key](ent, meta)
+
+
+def blend_xla(ent, meta, tile_h: int, tile_w: int):
+    """XLA-scan forward + analytic backward (the default training path)."""
+    key = (tile_h, tile_w, "xla")
+    if key not in _BLEND_CACHE:
+        _BLEND_CACHE[key] = _make_blend_vjp(tile_h, tile_w, "xla")
     return _BLEND_CACHE[key](ent, meta)

@@ -35,7 +35,8 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from .pallas_blend import ATTRS, _jnp_blend_from_ent, blend_pallas
+from .pallas_blend import (ATTRS, _jnp_blend_from_ent, blend_pallas,
+                           blend_xla)
 from .projection import Projected
 
 
@@ -138,8 +139,15 @@ def rasterize_tiled(
     ent = jnp.take(attrs, gid, axis=0)                    # [T, K, 16]
 
     # ---- 6. blend ---------------------------------------------------------
+    # default "xla": AD-differentiated log-space scan (fastest measured:
+    # 188ms fwd+bwd vs 205ms for the analytic VJP at 100k/960x544 — the
+    # log-space cumsum transpose beats two analytic forward replays).
+    # "xla_analytic" keeps the closed-form VJP exercised: it is the
+    # blueprint for the future Pallas backward kernel.
     if backend == "pallas":
         rgb_t, T_t, dep_t = blend_pallas(ent, meta, tile_h, tile_w)
+    elif backend == "xla_analytic":
+        rgb_t, T_t, dep_t = blend_xla(ent, meta, tile_h, tile_w)
     else:
         rgb_t, T_t, dep_t = _jnp_blend_from_ent(
             ent, meta, tile_h=tile_h, tile_w=tile_w, chunk=chunk)
