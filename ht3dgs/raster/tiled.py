@@ -59,18 +59,18 @@ def _pack_attr_rows(proj: Projected) -> jax.Array:
     return jnp.stack(cols + pad, axis=-1)
 
 
-def rasterize_tiled(
+def build_tile_lists(
     proj: Projected,
     height: int,
     width: int,
-    bg_color: jax.Array,
     tile_h: int = 16,
     tile_w: int = 16,
     max_per_tile: int = 1024,
     dup_factor: int = 16,
-    chunk: int = 32,
-    backend: str = "xla",   # "xla" | "pallas" (TPU kernel forward)
-) -> Dict[str, jax.Array]:
+):
+    """Binning stages 1-5: packed per-tile entry blocks + meta.
+
+    Returns (ent [T,K,16], meta [T,4] int32, total, n_dropped)."""
     N = proj.means2d.shape[0]
     ntx = _cdiv(width, tile_w)
     nty = _cdiv(height, tile_h)
@@ -107,20 +107,27 @@ def rasterize_tiled(
     ].max(jnp.where(has, jnp.arange(N, dtype=jnp.int32) + 1, 0))
     src = jnp.clip(jax.lax.cummax(seg_mark) - 1, 0, N - 1)
 
-    # per-entry tile coordinates (4 small row-gathers fused into one)
+    # per-entry tile coordinates (4 small row-gathers fused into one).
+    # TPU has no hardware integer division — local//sx over M entries is
+    # pathologically slow — so the quotient is computed in f32 with a +0.5
+    # bias (exact for local < 2^22 and the rounding margin 0.5/sx >> f32 eps)
     geo = jnp.stack([x0, y0, span_x, offs], axis=-1)      # [N, 4] int32
     geo_e = jnp.take(geo, src, axis=0)                    # [M, 4]
     m = jnp.arange(M, dtype=jnp.int32)
     local = m - geo_e[:, 3]
     sx = jnp.maximum(geo_e[:, 2], 1)
-    tx = geo_e[:, 0] + local % sx
-    ty = geo_e[:, 1] + local // sx
+    q = jnp.floor((local.astype(jnp.float32) + 0.5)
+                  / sx.astype(jnp.float32)).astype(jnp.int32)
+    rem = local - q * sx
+    tx = geo_e[:, 0] + rem
+    ty = geo_e[:, 1] + q
     tile_id = jnp.where(m < total, ty * ntx + tx, T)  # sentinel -> end
 
     # ---- 4. stable sort by tile (preserves depth order in ties) ----------
-    perm = jnp.argsort(tile_id, stable=True)
-    sorted_tile = jnp.take(tile_id, perm)
-    sorted_src = jnp.take(src, perm)
+    # multi-operand lax.sort co-sorts src with the keys in one pass —
+    # measurably cheaper than argsort + two 1.6M random gathers on TPU
+    sorted_tile, sorted_src = jax.lax.sort(
+        (tile_id, src), num_keys=1, is_stable=True)
 
     # ---- 5. per-tile padded lists -----------------------------------------
     tids = jnp.arange(T, dtype=sorted_tile.dtype)
@@ -137,6 +144,27 @@ def rasterize_tiled(
                       jnp.zeros_like(tid)], axis=1)
 
     ent = jnp.take(attrs, gid, axis=0)                    # [T, K, 16]
+    n_dropped = (jnp.maximum(total - M, 0)
+                 + jnp.sum(jnp.maximum(ends - starts - K, 0)))
+    return ent, meta, total, n_dropped
+
+
+def rasterize_tiled(
+    proj: Projected,
+    height: int,
+    width: int,
+    bg_color: jax.Array,
+    tile_h: int = 16,
+    tile_w: int = 16,
+    max_per_tile: int = 1024,
+    dup_factor: int = 16,
+    chunk: int = 32,
+    backend: str = "xla",   # "xla" | "xla_analytic" | "pallas"
+) -> Dict[str, jax.Array]:
+    ntx = _cdiv(width, tile_w)
+    nty = _cdiv(height, tile_h)
+    ent, meta, total, n_dropped = build_tile_lists(
+        proj, height, width, tile_h, tile_w, max_per_tile, dup_factor)
 
     # ---- 6. blend ---------------------------------------------------------
     # default "xla": AD-differentiated log-space scan (fastest measured:
@@ -152,8 +180,6 @@ def rasterize_tiled(
         rgb_t, T_t, dep_t = _jnp_blend_from_ent(
             ent, meta, tile_h=tile_h, tile_w=tile_w, chunk=chunk)
 
-    n_dropped = (jnp.maximum(total - M, 0)
-                 + jnp.sum(jnp.maximum(ends - starts - K, 0)))
     return _assemble(rgb_t, T_t, dep_t, height, width, ntx, nty, tile_h,
                      tile_w, bg_color, total, n_dropped)
 
