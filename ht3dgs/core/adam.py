@@ -85,8 +85,11 @@ def permute_rows(state: AdamState, perm: jax.Array) -> AdamState:
 def expon_lr(step, lr_init: float, lr_final: float, max_steps: int,
              lr_delay_steps: int = 0, lr_delay_mult: float = 1.0):
     """Log-linear LR schedule, parity with `get_expon_lr_func`
-    (/root/reference/utils/general_utils.py:27-60). Traced-scalar friendly."""
-    if lr_init == 0.0 and lr_final == 0.0:
+    (/root/reference/utils/general_utils.py:27-60). Works with python floats
+    or traced (e.g. vmapped) lr values."""
+    static_lrs = isinstance(lr_init, (int, float)) and \
+        isinstance(lr_final, (int, float))
+    if static_lrs and lr_init == 0.0 and lr_final == 0.0:
         return jnp.asarray(0.0, jnp.float32)
     step = jnp.asarray(step, jnp.float32)
     if lr_delay_steps > 0:
@@ -95,6 +98,10 @@ def expon_lr(step, lr_init: float, lr_final: float, max_steps: int,
     else:
         delay = 1.0
     t = jnp.clip(step / max_steps, 0.0, 1.0)
-    log_lerp = jnp.exp(np.log(lr_init) * (1.0 - t) + np.log(lr_final) * t)
+    lr_init = jnp.asarray(lr_init, jnp.float32)
+    lr_final = jnp.asarray(lr_final, jnp.float32)
+    ok = (lr_init > 0.0) & (lr_final > 0.0)
+    log_lerp = jnp.exp(jnp.log(jnp.where(ok, lr_init, 1.0)) * (1.0 - t)
+                       + jnp.log(jnp.where(ok, lr_final, 1.0)) * t)
     out = delay * log_lerp
-    return jnp.where(step < 0, 0.0, out)
+    return jnp.where((step < 0) | ~ok, 0.0, out)

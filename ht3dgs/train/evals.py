@@ -163,12 +163,11 @@ def render_nvs(trainer, checkpoint: Optional[str] = None,
         cam = trainer.camera_for(min(10, trainer.seq_len - 1), pose=pose)
         out = step_lib.render_eval(bundle.state, cam, mode=trainer._mode,
                                    tile_args=trainer._tile_args)
+        from ..utils.image import colorize
+
         img = (np.asarray(out["image"]) * 255).astype(np.uint8)
-        depth = np.asarray(out["depth"])
-        dmin, dmax = depth.min(), depth.max()
-        dnorm = ((depth - dmin) / max(dmax - dmin, 1e-6) * 255).astype(np.uint8)
         frame = np.concatenate(
-            [img, np.repeat(dnorm[..., None], 3, axis=-1)], axis=1)
+            [img, colorize(np.asarray(out["depth"]))], axis=1)
         frames.append(frame)
         from PIL import Image
 

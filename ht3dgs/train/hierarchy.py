@@ -307,6 +307,127 @@ class HTGaussianTrainer(GaussianTrainer):
         self.pose_dict[key] = rel2 @ rel1
 
     # ------------------------------------------------------------------ #
+    # Phase A, batched (TPU-parallel pairs; see train.phase_a)
+    def compute_relative_poses_batched(self):
+        from . import phase_a as pa
+
+        B = self.pipe_cfg.phase_a_batch
+        pairs = [(f, f - 1) for f in range(1, self.seq_len)
+                 if f"rel_pose_{f - 1}_to_{f}" not in self.pose_dict]
+        if not pairs or B <= 0:
+            return
+        use_vfi = (self.pipe_cfg.train_pose_mode == "vfi"
+                   and self.vfi_provider is not None)
+        o = self.sched
+        self.logger.info(f"[Phase A/batched] {len(pairs)} pairs, batch {B}")
+
+        for i0 in range(0, len(pairs), B):
+            chunk = pairs[i0:i0 + B]
+            # pad the chunk by repeating the last pair (results discarded)
+            padded = chunk + [chunk[-1]] * (B - len(chunk))
+
+            pcds = [self.prepare_pcd(prev) for (_, prev) in padded]
+            cap = max(_round_capacity(int(len(p.points) * 1.5))
+                      for p in pcds)
+            bundles = [self.make_model(p, capacity=cap) for p in pcds]
+            states = pa.stack_states([b.state for b in bundles])
+            opts = pa.stack_states([b.opt for b in bundles])
+            cams = pa.stack_cameras(
+                [self.camera_for(prev) for (_, prev) in padded])
+            gts = jnp.stack([jnp.asarray(self.load_image(prev))
+                             for (_, prev) in padded])
+            lr_args = (
+                jnp.asarray([o.position_lr_init * b.spatial_scale
+                             for b in bundles], jnp.float32),
+                jnp.asarray([o.position_lr_final * b.spatial_scale
+                             for b in bundles], jnp.float32),
+                o.position_lr_max_steps,
+                {
+                    "sh_dc": jnp.full((B,), o.feature_lr, jnp.float32),
+                    "sh_rest": jnp.full((B,), o.feature_lr / 20.0,
+                                        jnp.float32),
+                    "opacity_logit": jnp.full((B,), o.opacity_lr,
+                                              jnp.float32),
+                    "log_scales": jnp.full((B,), o.scaling_lr, jnp.float32),
+                    "quats": jnp.full((B,), o.rotation_lr, jnp.float32),
+                },
+            )
+            states, opts = pa.batched_fit(
+                states, opts, cams, gts, lr_args, mode=self._mode,
+                tile_args=self._tile_args, lambda_dssim=o.lambda_dssim,
+                n_iters=o.phase_a_fit_iters)
+            self.logger.info(f"[Phase A/batched] fitted pairs {chunk}")
+
+            bases = jnp.broadcast_to(
+                jnp.asarray([0, 0, 0, 0, 0, 0, 1], jnp.float32), (B, 7))
+            lr = jnp.asarray(o.rotation_lr, jnp.float32)
+
+            if not use_vfi:
+                cams_ref = pa.stack_cameras(
+                    [self.camera_for(f) for (f, _) in padded])
+                gts_ref = jnp.stack([jnp.asarray(self.load_image(f))
+                                     for (f, _) in padded])
+                deltas = pa.batched_pose_fit(
+                    states, bases, cams_ref, gts_ref, lr, mode=self._mode,
+                    tile_args=self._tile_args, lambda_dssim=o.lambda_dssim,
+                    n_iters=o.phase_a_pose_iters)
+                rels = np.asarray(se3.se3_to_matrix(se3.se3_exp(deltas)))
+                for (f, prev), rel in zip(chunk, rels):
+                    self.pose_dict[f"rel_pose_{prev}_to_{f}"] = \
+                        rel.astype(np.float32)
+                continue
+
+            # VFI: fit a second batch of local models to the midway frames,
+            # then compose the two half-step poses
+            pcds_v = [self.prepare_pcd(prev, use_vfi_frame=True)
+                      for (_, prev) in padded]
+            cap_v = max(cap, max(_round_capacity(int(len(p.points) * 1.5))
+                                 for p in pcds_v))
+            if cap_v != cap:
+                # rebuild base batch at the common capacity? not needed —
+                # the two batches are independent pytrees
+                pass
+            bundles_v = [self.make_model(p, capacity=cap_v) for p in pcds_v]
+            states_v = pa.stack_states([b.state for b in bundles_v])
+            opts_v = pa.stack_states([b.opt for b in bundles_v])
+            gts_v = jnp.stack([jnp.asarray(self.get_vfi(prev))
+                               for (_, prev) in padded])
+            lr_args_v = (
+                jnp.asarray([o.position_lr_init * b.spatial_scale
+                             for b in bundles_v], jnp.float32),
+                jnp.asarray([o.position_lr_final * b.spatial_scale
+                             for b in bundles_v], jnp.float32),
+                o.position_lr_max_steps, lr_args[3])
+            states_v, opts_v = pa.batched_fit(
+                states_v, opts_v, cams, gts_v, lr_args_v, mode=self._mode,
+                tile_args=self._tile_args, lambda_dssim=o.lambda_dssim,
+                n_iters=o.phase_a_fit_iters)
+
+            # half-step 1: base model -> VFI frame; half-step 2: VFI model
+            # -> frame f
+            deltas1 = pa.batched_pose_fit(
+                states, bases, cams, gts_v, lr, mode=self._mode,
+                tile_args=self._tile_args, lambda_dssim=o.lambda_dssim,
+                n_iters=o.phase_a_pose_iters)
+            cams_ref = pa.stack_cameras(
+                [self.camera_for(f) for (f, _) in padded])
+            gts_ref = jnp.stack([jnp.asarray(self.load_image(f))
+                                 for (f, _) in padded])
+            deltas2 = pa.batched_pose_fit(
+                states_v, bases, cams_ref, gts_ref, lr, mode=self._mode,
+                tile_args=self._tile_args, lambda_dssim=o.lambda_dssim,
+                n_iters=o.phase_a_pose_iters)
+            rel1 = np.asarray(se3.se3_to_matrix(se3.se3_exp(deltas1)))
+            rel2 = np.asarray(se3.se3_to_matrix(se3.se3_exp(deltas2)))
+            for (f, prev), r1, r2 in zip(chunk, rel1, rel2):
+                self.pose_dict[f"rel_pose_{prev}_to_{prev}.5"] = \
+                    r1.astype(np.float32)
+                self.pose_dict[f"rel_pose_{prev}.5_to_{f}"] = \
+                    r2.astype(np.float32)
+                self.pose_dict[f"rel_pose_{prev}_to_{f}"] = \
+                    (r2 @ r1).astype(np.float32)
+
+    # ------------------------------------------------------------------ #
     # partition (ht3dgs_trainer.py:1338-1395)
     def partition(self, n: int, level: int, overlap: int = 2):
         if self.pipe_cfg.partition_strategy == "v1" and level > 0:
@@ -603,6 +724,8 @@ class HTGaussianTrainer(GaussianTrainer):
             self.logger.info(f"loaded poses from {self.pipe_cfg.load_pose}")
 
         # Phase A — relative poses for every adjacent pair
+        if getattr(self.pipe_cfg, "phase_a_batch", 0) > 0:
+            self.compute_relative_poses_batched()
         for fidx in range(1, self.seq_len):
             self.compute_relative_pose(fidx, fidx - 1)
 
@@ -704,11 +827,18 @@ class HTGaussianTrainer(GaussianTrainer):
         p = float(psnr_fn(out["image"], jnp.asarray(gt)))
         return p, out
 
-    def evaluate_on_training_images(self):
+    def evaluate_on_training_images(self, save_images: bool = True):
+        from ..utils.image import save_image
+
+        out_dir = os.path.join(self.result_path, "eval")
         psnrs = []
         for fidx in range(self.seq_len):
-            p, _ = self.render_frame(self.gs_bundle, fidx)
+            p, out = self.render_frame(self.gs_bundle, fidx)
             psnrs.append(p)
+            if save_images:
+                save_image(os.path.join(out_dir, f"{fidx:03d}.png"),
+                           np.asarray(out["image"]),
+                           gt_image=self.load_image(fidx))
             self.logger.info(f"Frame {fidx}: PSNR = {p:.3f}")
         mean_psnr = float(np.mean(psnrs))
         self.logger.info(f"train-view mean PSNR: {mean_psnr:.3f}")
@@ -720,6 +850,8 @@ class HTGaussianTrainer(GaussianTrainer):
     def train_pose_only(self):
         self.derive_schedule()
         os.makedirs(f"{self.result_path}/pose", exist_ok=True)
+        if getattr(self.pipe_cfg, "phase_a_batch", 0) > 0:
+            self.compute_relative_poses_batched()
         for fidx in range(1, self.seq_len):
             self.compute_relative_pose(fidx, fidx - 1)
         poses = [np.eye(4, dtype=np.float32)]

@@ -72,6 +72,7 @@ class PipelineConfig:
     mesh_segments: int = 1             # data-parallel segment axis size
     mesh_tiles: int = 1                # tile-sharding axis size
     init_max_points: int = 0           # cap per-frame init pcd size (0 = off)
+    phase_a_batch: int = 0             # >0: vmap-batch relative-pose pairs
 
 
 @dataclass

@@ -1,0 +1,89 @@
+"""Batched Phase A: vmapped fits must converge and produce relative poses
+consistent with the sequential reference-parity path."""
+
+import numpy as np
+import pytest
+
+from ht3dgs.train.hierarchy import HTGaussianTrainer
+from ht3dgs.utils import synthetic
+from ht3dgs.utils.config import load_configs
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    scene = synthetic.generate(n_frames=6, height=40, width=56,
+                               n_gaussians=300, seed=11)
+    d = tmp_path_factory.mktemp("pa")
+    synthetic.write_images_only(scene, str(d / "images"),
+                                depth_dir=str(d / "depth"))
+    return scene, str(d)
+
+
+def make_trainer(d, batch, vfi, tmp):
+    import os
+
+    model, pipe, optim = load_configs()
+    model.FovX = 1.2
+    model.eval = False
+    model.source_path = os.path.join(d, "images")
+    model.data_type = "images_only"
+    model.expname = "pa"
+    model.category = "s"
+    model.seq_name = f"b{batch}{vfi}"
+    pipe.train_level = 1
+    pipe.render_mode = "oracle"
+    pipe.depth_provider = "precomputed"
+    pipe.depth_dir = os.path.join(d, "depth")
+    pipe.vfi_provider = "blend" if vfi else "none"
+    pipe.train_pose_mode = "vfi" if vfi else None
+    pipe.init_max_points = 256
+    pipe.phase_a_batch = batch
+    optim.phase_a_fit_iters = 150
+    optim.phase_a_pose_iters = 150
+    os.chdir(tmp)
+    return HTGaussianTrainer(os.path.join(d, "images"), model, pipe, optim,
+                             seed=0)
+
+
+def test_batched_matches_sequential(setup, tmp_path, monkeypatch):
+    scene, d = setup
+    monkeypatch.chdir(tmp_path)
+
+    tr_b = make_trainer(d, batch=5, vfi=False, tmp=tmp_path)
+    tr_b.compute_relative_poses_batched()
+    assert len([k for k in tr_b.pose_dict if k.startswith("rel_pose")]) == 5
+
+    tr_s = make_trainer(d, batch=0, vfi=False, tmp=tmp_path)
+    tr_s.compute_relative_pose(1, 0)
+
+    rb = tr_b.pose_dict["rel_pose_0_to_1"]
+    rs = tr_s.pose_dict["rel_pose_0_to_1"]
+    # same algorithm, different RNG for the model init — poses must agree
+    # to within the optimization noise floor
+    dR = rb[:3, :3] @ rs[:3, :3].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 1.5, f"batched vs sequential rotation differs {ang} deg"
+    assert np.linalg.norm(rb[:3, 3] - rs[:3, 3]) < 0.08
+
+    # and both roughly approach the ground truth relative rotation (the
+    # tight budget here — 150/150 iters — bounds accuracy; the strict GT
+    # test with the full budget lives in test_hierarchy_e2e)
+    gt_rel = scene.poses_w2c[1] @ np.linalg.inv(scene.poses_w2c[0])
+    dRg = rb[:3, :3] @ gt_rel[:3, :3].T
+    angg = np.degrees(np.arccos(np.clip((np.trace(dRg) - 1) / 2, -1, 1)))
+    assert angg < 6.0
+
+
+def test_batched_vfi_composes(setup, tmp_path, monkeypatch):
+    scene, d = setup
+    monkeypatch.chdir(tmp_path)
+    tr = make_trainer(d, batch=3, vfi=True, tmp=tmp_path)
+    tr.compute_relative_poses_batched()
+    for f in range(1, 6):
+        assert f"rel_pose_{f - 1}_to_{f}" in tr.pose_dict
+        assert f"rel_pose_{f - 1}_to_{f - 1}.5" in tr.pose_dict
+    r = tr.pose_dict["rel_pose_0_to_1"]
+    r1 = tr.pose_dict["rel_pose_0_to_0.5"]
+    r2 = tr.pose_dict["rel_pose_0.5_to_1"]
+    np.testing.assert_allclose(r, r2 @ r1, atol=1e-5)
+    assert np.all(np.isfinite(r))
