@@ -427,6 +427,21 @@ class HTGaussianTrainer(GaussianTrainer):
                 self.pose_dict[f"rel_pose_{prev}_to_{f}"] = \
                     (r2 @ r1).astype(np.float32)
 
+        # validate: any non-finite batched result falls back to the
+        # sequential reference-parity path for that pair
+        for (f, prev) in pairs:
+            keys = [k for k in (f"rel_pose_{prev}_to_{f}",
+                                f"rel_pose_{prev}_to_{prev}.5",
+                                f"rel_pose_{prev}.5_to_{f}")
+                    if k in self.pose_dict]
+            if any(not np.all(np.isfinite(self.pose_dict[k])) for k in keys):
+                self.logger.warning(
+                    f"[Phase A/batched] non-finite result for pair "
+                    f"({prev}->{f}); falling back to sequential fit")
+                for k in keys:
+                    self.pose_dict.pop(k, None)
+                self.compute_relative_pose(f, prev)
+
     # ------------------------------------------------------------------ #
     # partition (ht3dgs_trainer.py:1338-1395)
     def partition(self, n: int, level: int, overlap: int = 2):

@@ -43,6 +43,10 @@ def _one_fit_step(state: GaussianState, opt, camera: Camera, gt, lrs,
 
     (_, img), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params())
+    # tiny unconverged fits occasionally spike; drop non-finite grads rather
+    # than poisoning the whole batch (outputs are re-validated on the host,
+    # with a sequential fallback per pair)
+    grads = jax.tree.map(lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
     new_params, new_opt = adam_lib.apply(state.params(), grads, opt, lrs)
     # frozen (early-stopped) models keep their params and optimizer state
     sel = lambda n, o: jnp.where(active, n, o)
@@ -100,6 +104,7 @@ def _one_pose_step(state, delta, base, opt, camera, gt, lr, *,
         return ld["loss"]
 
     g = jax.grad(loss_fn)(delta)
+    g = jnp.where(jnp.isfinite(g), g, 0.0)
     params, new_opt = adam_lib.apply({"pose": delta}, {"pose": g}, opt,
                                      {"pose": lr})
     return params["pose"], new_opt
