@@ -273,7 +273,6 @@ def _blend_bwd_analytic(ent: jax.Array, meta: jax.Array, cts, *,
     C = min(chunk, K)
     n_chunks = K // C
     ent_c = jnp.moveaxis(ent.reshape(T_, n_chunks, C, ATTRS), 1, 0)
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * C
 
     def alpha_of(blk, base, tbuf):
         mx = blk[:, :, 0][:, :, None]
@@ -302,26 +301,30 @@ def _blend_bwd_analytic(ent: jax.Array, meta: jax.Array, cts, *,
         aux = (dx, dy, power, raw, gate, kept, t_excl, one_minus)
         return alpha, w, tbuf_next, aux
 
-    # pass A: total per-pixel weighted cotangent sum + T_out
-    def passA(carry, xs):
-        s_tot, tbuf = carry
-        blk, base = xs
-        _, w, tbuf_next, _ = alpha_of(blk, base, tbuf)
+    def live_cond(ci, tbuf):
+        live = (counts > ci * C) & (jnp.max(tbuf, axis=1) >= T_EPS)
+        return (ci < n_chunks) & jnp.any(live)
+
+    # pass A: total per-pixel weighted cotangent sum + T_out (early-exit)
+    def passA_body(carry):
+        ci, s_tot, tbuf = carry
+        blk = jax.lax.dynamic_index_in_dim(ent_c, ci, 0, keepdims=False)
+        _, w, tbuf_next, _ = alpha_of(blk, ci * C, tbuf)
         a = jnp.concatenate([blk[:, :, 5:8], blk[:, :, 9:10]], axis=2)
         a_dot = jnp.einsum("tca,tap->tcp", a, dA)   # [T, C, P]
         s_tot = s_tot + jnp.sum(w * a_dot, axis=1)
-        return (s_tot, tbuf_next), None
+        return ci + 1, s_tot, tbuf_next
 
-    (s_total, t_out), _ = jax.lax.scan(
-        passA, (jnp.zeros((T_, P), jnp.float32),
-                jnp.ones((T_, P), jnp.float32)), (ent_c, bases))
+    _, s_total, t_out = jax.lax.while_loop(
+        lambda c: live_cond(c[0], c[2]), passA_body,
+        (jnp.asarray(0, jnp.int32), jnp.zeros((T_, P), jnp.float32),
+         jnp.ones((T_, P), jnp.float32)))
 
     tail = t_out * d_tbuf                           # [T, P]
 
-    # pass B: prefix -> suffix, emit entry gradients
-    def passB(carry, xs):
-        s_pref, tbuf = carry
-        blk, base = xs
+    # pass B: prefix -> suffix, emit entry gradients (early-exit; skipped
+    # chunks have zero weights hence zero gradients)
+    def passB(s_pref, tbuf, blk, base):
         alpha, w, tbuf_next, aux = alpha_of(blk, base, tbuf)
         dx, dy, power, raw, gate, kept, t_excl, one_minus = aux
         a = jnp.concatenate([blk[:, :, 5:8], blk[:, :, 9:10]], axis=2)
@@ -356,13 +359,95 @@ def _blend_bwd_analytic(ent: jax.Array, meta: jax.Array, cts, *,
              d_a[:, :, 0], d_a[:, :, 1], d_a[:, :, 2],
              d_op, d_a[:, :, 3]]
             + [zeros] * (ATTRS - 10), axis=-1)      # [T, C, ATTRS]
-        return (s_incl[:, -1, :], tbuf_next), d_blk
+        return s_incl[:, -1, :], tbuf_next, d_blk
 
-    (_, _), d_chunks = jax.lax.scan(
-        passB, (jnp.zeros((T_, P), jnp.float32),
-                jnp.ones((T_, P), jnp.float32)), (ent_c, bases))
+    def passB_body(carry):
+        ci, s_pref, tbuf, d_acc = carry
+        blk = jax.lax.dynamic_index_in_dim(ent_c, ci, 0, keepdims=False)
+        s_pref, tbuf, d_blk = passB(s_pref, tbuf, blk, ci * C)
+        d_acc = jax.lax.dynamic_update_index_in_dim(d_acc, d_blk, ci, 0)
+        return ci + 1, s_pref, tbuf, d_acc
+
+    _, _, _, d_chunks = jax.lax.while_loop(
+        lambda c: live_cond(c[0], c[2]), passB_body,
+        (jnp.asarray(0, jnp.int32), jnp.zeros((T_, P), jnp.float32),
+         jnp.ones((T_, P), jnp.float32),
+         jnp.zeros((n_chunks, T_, C, ATTRS), jnp.float32)))
     d_ent = jnp.moveaxis(d_chunks, 0, 1).reshape(T_, K, ATTRS)
     return d_ent
+
+
+def _jnp_blend_early(ent: jax.Array, meta: jax.Array, *, tile_h: int,
+                     tile_w: int, chunk: int = 32):
+    """While-loop blend with *global early termination*.
+
+    The scan blend computes every entry chunk and masks dead contributions;
+    for dense scenes (1M Gaussians saturate every tile's transmittance
+    within a few dozen entries) that wastes most of the work. This variant
+    stops as soon as no tile both (a) has entries left and (b) retains
+    transmittance >= 1e-4 — the CUDA reference's early termination at the
+    granularity of chunks. Exactly equivalent to the scan blend (skipped
+    chunks contribute all-zero weights). Not AD-differentiable (while_loop);
+    used as the custom-VJP forward with the analytic backward.
+    """
+    T_, K, _ = ent.shape
+    P = tile_h * tile_w
+    tile_px = jnp.asarray(np.arange(P) % tile_w, jnp.float32)
+    tile_py = jnp.asarray(np.arange(P) // tile_w, jnp.float32)
+    pxv = meta[:, 1].astype(jnp.float32)[:, None] + tile_px[None, :]
+    pyv = meta[:, 2].astype(jnp.float32)[:, None] + tile_py[None, :]
+    counts = meta[:, 0]
+
+    C = min(chunk, K)
+    n_chunks = K // C
+    ent_c = jnp.moveaxis(ent.reshape(T_, n_chunks, C, ATTRS), 1, 0)
+
+    def chunk_update(blk, base, acc, tbuf):
+        mx = blk[:, :, 0][:, :, None]
+        my = blk[:, :, 1][:, :, None]
+        ca = blk[:, :, 2][:, :, None]
+        cb = blk[:, :, 3][:, :, None]
+        cc = blk[:, :, 4][:, :, None]
+        op = blk[:, :, 8][:, :, None]
+        idxv = base + jnp.arange(C, dtype=jnp.int32)[None, :]
+        evalid = (idxv < counts[:, None])[:, :, None]
+        dx = pxv[:, None, :] - mx
+        dy = pyv[:, None, :] - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+        alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN) & evalid,
+                          alpha, 0.0)
+        one_minus = 1.0 - alpha
+        t_within = jnp.exp(jnp.cumsum(jnp.log(one_minus), axis=1))
+        t_excl = tbuf[:, None, :] * jnp.concatenate(
+            [jnp.ones_like(t_within[:, :1]), t_within[:, :-1]], axis=1)
+        kept = tbuf[:, None, :] * t_within >= T_EPS
+        w = jnp.where(kept, alpha * t_excl, 0.0)
+        attr = jnp.concatenate([blk[:, :, 5:8], blk[:, :, 9:10]], axis=2)
+        acc = acc + jnp.einsum("tcp,tca->tap", w, attr)
+        tbuf = tbuf * jnp.exp(
+            jnp.sum(jnp.where(kept, jnp.log(one_minus), 0.0), axis=1))
+        return acc, tbuf
+
+    def cond(carry):
+        ci, acc, tbuf = carry
+        live = (counts > ci * C) & \
+            (jnp.max(tbuf, axis=1) >= T_EPS)
+        return (ci < n_chunks) & jnp.any(live)
+
+    def body(carry):
+        ci, acc, tbuf = carry
+        blk = jax.lax.dynamic_index_in_dim(ent_c, ci, 0, keepdims=False)
+        acc, tbuf = chunk_update(blk, ci * C, acc, tbuf)
+        return ci + 1, acc, tbuf
+
+    init = (jnp.asarray(0, jnp.int32),
+            jnp.zeros((T_, 4, P), jnp.float32),
+            jnp.ones((T_, P), jnp.float32))
+    _, acc, tbuf = jax.lax.while_loop(cond, body, init)
+    rgb = jnp.moveaxis(acc[:, 0:3, :], 1, 2)
+    dep = acc[:, 3, :]
+    return rgb, tbuf, dep
 
 
 def _make_blend_vjp(tile_h: int, tile_w: int, forward: str):
@@ -371,6 +456,8 @@ def _make_blend_vjp(tile_h: int, tile_w: int, forward: str):
         if forward == "pallas":
             return blend_tiles_pallas(ent, meta, tile_h=tile_h,
                                       tile_w=tile_w)
+        if forward == "xla_early":
+            return _jnp_blend_early(ent, meta, tile_h=tile_h, tile_w=tile_w)
         return _jnp_blend_from_ent(ent, meta, tile_h=tile_h, tile_w=tile_w)
 
     def fwd(ent, meta):
@@ -398,8 +485,17 @@ def blend_pallas(ent, meta, tile_h: int, tile_w: int):
 
 
 def blend_xla(ent, meta, tile_h: int, tile_w: int):
-    """XLA-scan forward + analytic backward (the default training path)."""
+    """XLA-scan forward + analytic backward."""
     key = (tile_h, tile_w, "xla")
     if key not in _BLEND_CACHE:
         _BLEND_CACHE[key] = _make_blend_vjp(tile_h, tile_w, "xla")
+    return _BLEND_CACHE[key](ent, meta)
+
+
+def blend_xla_early(ent, meta, tile_h: int, tile_w: int):
+    """Early-terminating while-loop forward + early-terminating analytic
+    backward — the fast path for dense scenes."""
+    key = (tile_h, tile_w, "xla_early")
+    if key not in _BLEND_CACHE:
+        _BLEND_CACHE[key] = _make_blend_vjp(tile_h, tile_w, "xla_early")
     return _BLEND_CACHE[key](ent, meta)

@@ -176,6 +176,10 @@ def rasterize_tiled(
         rgb_t, T_t, dep_t = blend_pallas(ent, meta, tile_h, tile_w)
     elif backend == "xla_analytic":
         rgb_t, T_t, dep_t = blend_xla(ent, meta, tile_h, tile_w)
+    elif backend == "xla_early":
+        from .pallas_blend import blend_xla_early
+
+        rgb_t, T_t, dep_t = blend_xla_early(ent, meta, tile_h, tile_w)
     else:
         rgb_t, T_t, dep_t = _jnp_blend_from_ent(
             ent, meta, tile_h=tile_h, tile_w=tile_w, chunk=chunk)
