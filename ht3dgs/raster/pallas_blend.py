@@ -186,7 +186,7 @@ def _jnp_blend_from_ent(ent: jax.Array, meta: jax.Array, *, tile_h: int,
     """Mathematically identical jnp blend over the packed entries — the
     default XLA path, the custom-VJP backward, and the interpret-mode
     oracle for the kernel."""
-    T, K, _ = ent.shape
+    T, K, A = ent.shape
     P = tile_h * tile_w
     tile_px = jnp.asarray(np.arange(P) % tile_w, jnp.float32)
     tile_py = jnp.asarray(np.arange(P) // tile_w, jnp.float32)
@@ -196,7 +196,7 @@ def _jnp_blend_from_ent(ent: jax.Array, meta: jax.Array, *, tile_h: int,
 
     C = min(chunk, K)
     n_chunks = K // C
-    ent_c = ent.reshape(T, n_chunks, C, ATTRS)
+    ent_c = ent.reshape(T, n_chunks, C, A)
 
     def body(carry, xs):
         acc, tbuf = carry
@@ -262,7 +262,7 @@ def _blend_bwd_analytic(ent: jax.Array, meta: jax.Array, cts, *,
     dA = jnp.concatenate([jnp.moveaxis(d_rgb, 2, 1), d_dep[:, None, :]],
                          axis=1)                   # [T, 4, P]
 
-    T_, K, _ = ent.shape
+    T_, K, A = ent.shape
     P = tile_h * tile_w
     tile_px = jnp.asarray(np.arange(P) % tile_w, jnp.float32)
     tile_py = jnp.asarray(np.arange(P) // tile_w, jnp.float32)
@@ -272,7 +272,7 @@ def _blend_bwd_analytic(ent: jax.Array, meta: jax.Array, cts, *,
 
     C = min(chunk, K)
     n_chunks = K // C
-    ent_c = jnp.moveaxis(ent.reshape(T_, n_chunks, C, ATTRS), 1, 0)
+    ent_c = jnp.moveaxis(ent.reshape(T_, n_chunks, C, A), 1, 0)
 
     def alpha_of(blk, base, tbuf):
         mx = blk[:, :, 0][:, :, None]
@@ -358,7 +358,7 @@ def _blend_bwd_analytic(ent: jax.Array, meta: jax.Array, cts, *,
             [d_mx, d_my, d_ca, d_cb, d_cc,
              d_a[:, :, 0], d_a[:, :, 1], d_a[:, :, 2],
              d_op, d_a[:, :, 3]]
-            + [zeros] * (ATTRS - 10), axis=-1)      # [T, C, ATTRS]
+            + [zeros] * (A - 10), axis=-1)          # [T, C, A]
         return s_incl[:, -1, :], tbuf_next, d_blk
 
     def passB_body(carry):
@@ -372,8 +372,8 @@ def _blend_bwd_analytic(ent: jax.Array, meta: jax.Array, cts, *,
         lambda c: live_cond(c[0], c[2]), passB_body,
         (jnp.asarray(0, jnp.int32), jnp.zeros((T_, P), jnp.float32),
          jnp.ones((T_, P), jnp.float32),
-         jnp.zeros((n_chunks, T_, C, ATTRS), jnp.float32)))
-    d_ent = jnp.moveaxis(d_chunks, 0, 1).reshape(T_, K, ATTRS)
+         jnp.zeros((n_chunks, T_, C, A), jnp.float32)))
+    d_ent = jnp.moveaxis(d_chunks, 0, 1).reshape(T_, K, A)
     return d_ent
 
 
@@ -390,7 +390,7 @@ def _jnp_blend_early(ent: jax.Array, meta: jax.Array, *, tile_h: int,
     chunks contribute all-zero weights). Not AD-differentiable (while_loop);
     used as the custom-VJP forward with the analytic backward.
     """
-    T_, K, _ = ent.shape
+    T_, K, A = ent.shape
     P = tile_h * tile_w
     tile_px = jnp.asarray(np.arange(P) % tile_w, jnp.float32)
     tile_py = jnp.asarray(np.arange(P) // tile_w, jnp.float32)
@@ -400,7 +400,7 @@ def _jnp_blend_early(ent: jax.Array, meta: jax.Array, *, tile_h: int,
 
     C = min(chunk, K)
     n_chunks = K // C
-    ent_c = jnp.moveaxis(ent.reshape(T_, n_chunks, C, ATTRS), 1, 0)
+    ent_c = jnp.moveaxis(ent.reshape(T_, n_chunks, C, A), 1, 0)
 
     def chunk_update(blk, base, acc, tbuf):
         mx = blk[:, :, 0][:, :, None]
