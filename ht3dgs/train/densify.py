@@ -13,9 +13,15 @@ Behavioral parity notes:
 - split: grad >= thresh and max scale > percent_dense·extent; 2 children at
   x + R(q)·N(0, S), scales /(0.8·2); parent pruned.
 - prune: opacity < min_opacity, plus (when screen-size test active)
-  max_radii2D > max_screen or max scale > 0.1·extent. Applied to parents
-  *and* inherited by children the same way the reference's post-densify
-  prune sweeps the concatenated tensors.
+  max scale > 0.1·extent. The reference *textually* also tests
+  `max_radii2D > max_screen_size`, but `densification_postfix` (called
+  unconditionally by clone and split) zeroes the whole max_radii2D tensor
+  right before the prune in `densify_and_prune`
+  (gaussian_model_ht.py:629,689), so that test is always false there (and
+  the standalone `prune()` where it would bite is never called). We
+  reproduce the *effective* behavior: no screen-radius prune term.
+  Applied to parents *and* inherited by children the same way the
+  reference's post-densify prune sweeps the concatenated tensors.
 - all densification stats (grad accum/denom/max_radii2D) reset to zero
   afterwards (densification_postfix semantics).
 - reset_opacity: logit(min(opacity, 0.01)) with opacity Adam moments zeroed
@@ -79,8 +85,10 @@ def densify_and_prune(
     split_sel = hot & (max_scale > percent_dense * extent)
 
     base_prune = opacity < min_opacity
-    screen_prune = (state.max_radii2d > max_screen_size) | \
-        (max_scale > 0.1 * extent)
+    # No max_radii2d term: the reference zeroes max_radii2D inside
+    # densification_postfix before this test ever runs (see module
+    # docstring), so only the world-size term is live.
+    screen_prune = max_scale > 0.1 * extent
     prune = jnp.where(use_screen_test, base_prune | screen_prune, base_prune)
 
     survivors_keep = live & ~split_sel & ~prune

@@ -510,8 +510,15 @@ class HTGaussianTrainer(GaussianTrainer):
         pose = bundle.get_RT(fidx)
         if use_vfi:
             half = self.pose_dict.get(f"rel_pose_{fidx}_to_{fidx}.5")
-            if half is not None:
-                pose = half @ pose
+            if half is None:
+                # No half-step pose recorded (e.g. train_pose_mode != 'vfi'
+                # but 'vfi' listed in multi_source_supervision): supervising
+                # the midway VFI image at the unadjusted pose would be a
+                # mismatched pose/image pair, so fall back to the original
+                # frame instead (the reference raises KeyError here).
+                gt = self.load_image(fidx)
+                return self.camera_for(fidx, pose=pose), gt
+            pose = half @ pose
             gt = self.get_vfi(fidx)
         else:
             gt = self.load_image(fidx)

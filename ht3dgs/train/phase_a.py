@@ -77,15 +77,20 @@ def batched_fit(states, opts, cameras, gts, lr_args, *, mode="auto",
                 lambda_dssim=lambda_dssim),
         in_axes=(0, 0, 0, 0, 0, 0))
 
+    # match the sequential fallback (hierarchy.fit_single_image): 1-based
+    # iterations for the xyz LR schedule, early stop after
+    # min(500, iterations // 2)
+    stop_after = min(500, n_iters // 2)
+
     def body(it, carry):
         states, opts, active = carry
         xyz_lr = jax.vmap(
-            lambda i, f: adam_lib.expon_lr(it, i, f, max_steps=max_steps)
+            lambda i, f: adam_lib.expon_lr(it + 1, i, f, max_steps=max_steps)
         )(lr_init, lr_final)
         lrs = dict(fixed, means=xyz_lr)
         states, opts, ps = step(states, opts, cameras, gts, lrs, active)
         if early_stop:
-            active = active & ~((ps > 35.0) & (it + 1 > 500))
+            active = active & ~((ps > 35.0) & (it + 1 > stop_after))
         return states, opts, active
 
     active0 = jnp.ones((B,), bool)

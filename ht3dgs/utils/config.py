@@ -174,7 +174,11 @@ def build_argparser() -> argparse.ArgumentParser:
             if any(a.dest == f.name for a in p._actions):
                 continue
             if f.type == bool or isinstance(f.default, bool):
-                p.add_argument(name, default=None, action="store_true")
+                # BooleanOptionalAction gives --flag / --no-flag pairs so
+                # default-True fields (eval, view_dependent, ...) can be
+                # disabled from the CLI
+                p.add_argument(name, default=None,
+                               action=argparse.BooleanOptionalAction)
             else:
                 p.add_argument(name, default=None, type=str)
     return p
