@@ -184,6 +184,79 @@ def interpolate_fn(params: Dict[str, jnp.ndarray], img0, img1,
 # checkpoint / API
 # ---------------------------------------------------------------------------
 
+def param_spec() -> Dict[str, Tuple[int, ...]]:
+    """Complete name -> shape map of the IFRNet(Vimeo90K) weights under the
+    torch state_dict naming (pyramid channels 32/48/72/96; decoders
+    193->192->76, 220->216->52, 148->144->36, 100->96->8). Used to validate
+    converted checkpoints for completeness and by tests to run the network
+    with random weights (the published .pth cannot be fetched from a
+    zero-egress host)."""
+    spec: Dict[str, Tuple[int, ...]] = {}
+
+    def convrelu(prefix, cin, cout, k=3):
+        spec[f"{prefix}.0.weight"] = (cout, cin, k, k)
+        spec[f"{prefix}.0.bias"] = (cout,)
+        spec[f"{prefix}.1.weight"] = (cout,)      # per-channel PReLU
+
+    def resblock(prefix, c, side=32):
+        convrelu(f"{prefix}.conv1", c, c)
+        convrelu(f"{prefix}.conv2", side, side)
+        convrelu(f"{prefix}.conv3", c, c)
+        convrelu(f"{prefix}.conv4", side, side)
+        spec[f"{prefix}.conv5.weight"] = (c, c, 3, 3)
+        spec[f"{prefix}.conv5.bias"] = (c,)
+        spec[f"{prefix}.prelu.weight"] = (c,)
+
+    pyramids = [("pyramid1", 3, 32), ("pyramid2", 32, 48),
+                ("pyramid3", 48, 72), ("pyramid4", 72, 96)]
+    for name, cin, cout in pyramids:
+        convrelu(f"encoder.{name}.0", cin, cout)
+        convrelu(f"encoder.{name}.1", cout, cout)
+    decoders = [("decoder4", 193, 192, 76), ("decoder3", 220, 216, 52),
+                ("decoder2", 148, 144, 36), ("decoder1", 100, 96, 8)]
+    for name, cin, cmid, cout in decoders:
+        convrelu(f"{name}.convblock.0", cin, cmid)
+        resblock(f"{name}.convblock.1", cmid)
+        # ConvTranspose2d stores IOHW
+        spec[f"{name}.convblock.2.weight"] = (cmid, cout, 4, 4)
+        spec[f"{name}.convblock.2.bias"] = (cout,)
+    return spec
+
+
+def random_params(seed: int = 0) -> Dict[str, np.ndarray]:
+    """Random parameters matching `param_spec` (He-ish scaling, PReLU slopes
+    at the torch init 0.25). For tests and smoke runs only."""
+    rng = np.random.default_rng(seed)
+    out = {}
+    for k, shape in param_spec().items():
+        if k.endswith("1.weight") and len(shape) == 1 or \
+                k.endswith("prelu.weight"):
+            out[k] = np.full(shape, 0.25, np.float32)
+        elif k.endswith("bias"):
+            out[k] = np.zeros(shape, np.float32)
+        else:
+            fan_in = int(np.prod(shape[1:])) if len(shape) > 1 else shape[0]
+            out[k] = (rng.standard_normal(shape) *
+                      np.sqrt(2.0 / max(fan_in, 1))).astype(np.float32)
+    return out
+
+
+def validate_params(params: Dict[str, np.ndarray]):
+    """Raise if a converted checkpoint is missing weights or has shape
+    mismatches; returns the list of unused extra keys (e.g. optimizer
+    buffers) that were ignored."""
+    spec = param_spec()
+    missing = [k for k in spec if k not in params]
+    if missing:
+        raise ValueError(f"IFRNet checkpoint is missing {len(missing)} "
+                         f"weights, e.g. {missing[:5]}")
+    bad = [(k, tuple(np.shape(params[k])), spec[k]) for k in spec
+           if tuple(np.shape(params[k])) != spec[k]]
+    if bad:
+        raise ValueError(f"IFRNet checkpoint shape mismatches: {bad[:5]}")
+    return [k for k in params if k not in spec]
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     import torch
 
@@ -202,8 +275,13 @@ def build(checkpoint: Optional[str] = None):
         raise ValueError(
             "IFRNet needs a converted IFRNet_Vimeo90K checkpoint; use the "
             "'blend' or 'precomputed' VFI provider on hosts without it")
-    params = {k: jnp.asarray(v)
-              for k, v in load_torch_checkpoint(checkpoint).items()}
+    if checkpoint.endswith(".npz"):
+        loaded = dict(np.load(checkpoint))
+    else:
+        loaded = load_torch_checkpoint(checkpoint)
+    validate_params(loaded)
+    params = {k: jnp.asarray(v) for k, v in loaded.items()
+              if k in param_spec()}
     return None, params
 
 

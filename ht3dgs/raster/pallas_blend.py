@@ -1,26 +1,42 @@
 """Pallas TPU kernels for the per-tile alpha-blend (the rasterizer hot loop).
 
 The binning front-end (raster/tiled.py) produces per-tile front-to-back
-entry lists packed as [T, K, ATTRS=16] rows; these kernels composite them.
+entry lists packed as [T, K, ATTRS=16] rows; this module composites them and
+computes the parameter gradients. It is the TPU counterpart of the CUDA
+forward+backward rasterizer pair the reference consumes at
+/root/reference/scene/gaussian_model_ht.py:871-894.
 
-Kernel structure (v2, per pallas_guide.md):
+Kernel structure (v3, per pallas_guide.md):
 - 2D grid (tile-block, entry-chunk): each program owns TB=8 tiles and one
-  C=64-entry chunk of each. Mosaic's pipeline double-buffers the next
+  C_STEP=64-entry chunk of each. Mosaic's pipeline double-buffers the next
   [TB, C, 16] entry block from HBM while the current one computes.
-- accumulators (rgb, depth, transmittance) live in VMEM scratch that
-  persists across the sequential entry-chunk axis; initialized at chunk 0,
-  flushed to the output block at the last chunk.
-- compute: alpha [TB, 8, P] on the VPU; the sequential front-to-back
-  transmittance runs on [TB, 1, P] vectors (2048 lanes — full VPU rows);
-  color/depth accumulation is a batched [TB](4×8 · 8×P) matmul on the MXU.
-- per-tile meta (entry count, tile origin) rides the scalar-prefetch path.
+- fully vectorized chunk math: alpha [TB, C, P] on the VPU, within-chunk
+  transmittance via exp(prefix-sum(log(1-alpha))) with a Hillis-Steele
+  shifted-add scan along the sublane axis (Mosaic has no cumprod), and one
+  [4, C] x [C, P] MXU matmul per tile for the color/depth accumulation.
+  No per-entry sequential loop.
+- accumulators (rgb, depth, transmittance, done-flag) live in VMEM scratch
+  persisting across the sequential entry-chunk axis.
+- termination is *sticky* (CUDA `done` flag): once a pixel's transmittance
+  would fall below T_EPS it stops accumulating permanently, even if a later
+  tiny alpha would pass the threshold again. All backends (oracle, XLA scan,
+  XLA while, Pallas) share this semantic via `_chunk_core`/`_chunk_weights`.
 - early-out: a chunk is skipped entirely once every tile in the block is
-  past its entry count or transmittance-saturated (CUDA early termination).
+  past its entry count or every pixel is done.
 
-Backward: `blend_pallas` is wrapped in jax.custom_vjp; the VJP replays the
-mathematically identical jnp chunked blend (log-space cumulative products —
-cumsum VJPs are cheap on TPU) under jax.vjp, so gradients stay exact while
-the forward runs at kernel speed.
+Backward: analytic VJP in two forward-ordered passes (no reverse scan, no
+rematerialization stack). Per pixel, with front-to-back weights
+w_i = alpha_i * T_i:
+
+    dL/dalpha_i = T_i (a_i . dA) - [ sum_{j>i} w_j (a_j . dA)
+                                     + T_fin * dT ] / (1 - alpha_i)
+    dL/da_i     = w_i * dA
+
+Pass A accumulates the total S = sum_j w_j (a_j . dA); pass B replays the
+forward turning prefix sums into suffixes and emits per-entry gradients.
+Both passes run as Pallas kernels (grid/layout identical to the forward);
+a jnp twin (`_blend_bwd_analytic`) is the interpretable oracle, verified
+against JAX AD of the scan blend in tests/test_analytic_bwd.py.
 """
 
 from __future__ import annotations
@@ -36,18 +52,103 @@ from .projection import ALPHA_MAX, ALPHA_MIN, T_EPS
 
 ATTRS = 16    # packed row: mx,my,ca,cb,cc,r,g,b,op,depth,radius,pad...
 TB = 8        # tiles per program
-SUB = 8       # entries per sequential micro-step
 C_STEP = 64   # entries per grid step (per tile)
-OUT_ROWS = 8  # r,g,b,depth,Tfinal,pad...
+OUT_ROWS = 8  # r,g,b,depth,Tfinal,done,pad,pad
 
 
-def _blend_kernel_v2(meta_ref, aux_ref, ent_ref, out_ref, acc_ref, *,
-                     K: int, P: int, tile_w: int, n_chunks: int):
+# --------------------------------------------------------------------------
+# shared chunk math (used by the XLA paths and, with a Mosaic-safe scan, by
+# the kernels — single source of truth for the blending semantics)
+
+def _sublane_cumsum(x: jax.Array) -> jax.Array:
+    """Inclusive prefix sum along axis 1 via log2(C) shifted adds.
+
+    Mosaic-safe replacement for jnp.cumsum (static concats along the
+    sublane dim only)."""
+    C = x.shape[1]
+    sh = 1
+    while sh < C:
+        x = x + jnp.concatenate(
+            [jnp.zeros_like(x[:, :sh, :]), x[:, :C - sh, :]], axis=1)
+        sh *= 2
+    return x
+
+
+def _chunk_core(blk, pxv, pyv, n_vec, base, cumsum1):
+    """Per-chunk alpha + within-chunk transmittance.
+
+    blk: [B, C, A] packed entries; pxv/pyv: [B, 1, P] pixel coords;
+    n_vec: float entry counts broadcastable against [B, C, P];
+    base: scalar index of the chunk's first entry; cumsum1: inclusive
+    prefix-sum along axis 1.
+    Returns (alpha, one_minus, lg, t_within, res) with res the residues
+    needed by the backward: (dx, dy, power, raw, gate).
+    """
+    C = blk.shape[1]
+    mx = blk[:, :, 0][:, :, None]
+    my = blk[:, :, 1][:, :, None]
+    ca = blk[:, :, 2][:, :, None]
+    cb = blk[:, :, 3][:, :, None]
+    cc = blk[:, :, 4][:, :, None]
+    op = blk[:, :, 8][:, :, None]
+    idxv = (base + jax.lax.broadcasted_iota(jnp.int32, (1, C, 1), 1)
+            ).astype(jnp.float32)
+    evalid = idxv < n_vec
+
+    dx = pxv - mx                               # [B, C, P]
+    dy = pyv - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    raw = op * jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    gate = (power <= 0.0) & (alpha >= ALPHA_MIN) & evalid
+    alpha = jnp.where(gate, alpha, 0.0)
+    one_minus = 1.0 - alpha
+    lg = jnp.log(one_minus)
+    t_within = jnp.exp(cumsum1(lg))             # inclusive, within chunk
+    return alpha, one_minus, lg, t_within, (dx, dy, power, raw, gate)
+
+
+def _chunk_weights(alpha, lg, t_within, tbuf, done):
+    """Front-to-back weights with sticky termination.
+
+    tbuf/done: [B, 1, P] carried transmittance and done-flag (float 0/1).
+    Returns (w, kept, t_excl, tbuf_next, done_next)."""
+    t_excl = tbuf * jnp.concatenate(
+        [jnp.ones_like(t_within[:, :1, :]), t_within[:, :-1, :]], axis=1)
+    t_after = tbuf * t_within
+    kept = (t_after >= T_EPS) & (done < 0.5)
+    w = jnp.where(kept, alpha * t_excl, 0.0)
+    tbuf_next = tbuf * jnp.exp(
+        jnp.sum(jnp.where(kept, lg, 0.0), axis=1, keepdims=True))
+    # t_after is monotone non-increasing within the chunk, so the last row
+    # detects whether any entry crossed the threshold (the CUDA `done`)
+    done_next = jnp.maximum(
+        done, (t_after[:, -1:, :] < T_EPS).astype(tbuf.dtype))
+    return w, kept, t_excl, tbuf_next, done_next
+
+
+def _attr_cols(blk):
+    """[B, C, 4]: r, g, b, depth."""
+    return jnp.concatenate([blk[:, :, 5:8], blk[:, :, 9:10]], axis=2)
+
+
+def _bdot(a, b, contract_a, contract_b):
+    """Batched (leading-axis) contraction on the MXU."""
+    return jax.lax.dot_general(
+        a, b, ((( contract_a,), (contract_b,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# Pallas forward kernel
+
+def _blend_fwd_kernel(meta_ref, aux_ref, ent_ref, out_ref, acc_ref, *,
+                      P: int, n_chunks: int):
     """Grid (T/TB, K/C_STEP). aux_ref [TB, 8, P] (rows: px, py, count);
     ent_ref [TB, C_STEP, ATTRS]; out_ref [TB, OUT_ROWS, P]; acc_ref scratch
-    [TB, OUT_ROWS, P] persistent across the entry-chunk axis. Scalars
-    (meta_ref prefetch) are used only for control flow — Mosaic cannot
-    build vectors from SMEM scalars."""
+    [TB, OUT_ROWS, P] persistent across the entry-chunk axis (rows 0-2 rgb,
+    3 depth, 4 transmittance, 5 done). Scalars (meta_ref prefetch) are used
+    only for control flow — Mosaic cannot build vectors from SMEM scalars."""
     from jax.experimental import pallas as pl
 
     i = pl.program_id(0)
@@ -57,72 +158,52 @@ def _blend_kernel_v2(meta_ref, aux_ref, ent_ref, out_ref, acc_ref, *,
     def _():
         acc_ref[:, 0:4, :] = jnp.zeros((TB, 4, P), jnp.float32)
         acc_ref[:, 4:5, :] = jnp.ones((TB, 1, P), jnp.float32)
+        acc_ref[:, 5:8, :] = jnp.zeros((TB, 3, P), jnp.float32)
 
-    pxv = aux_ref[:, 0:1, :]                         # [TB, 1, P]
-    pyv = aux_ref[:, 1:2, :]
-    n_vec = aux_ref[:, 2:3, :]                       # float32 counts
-
-    # scalar max entry count over this tile block (SMEM scalar ops)
     max_n = meta_ref[4 * (i * TB)]
     for j in range(1, TB):
         max_n = jnp.maximum(max_n, meta_ref[4 * (i * TB + j)])
 
-    tbuf0 = acc_ref[:, 4:5, :]
-    live = (c * C_STEP < max_n) & (jnp.max(tbuf0) >= T_EPS)
+    tbuf = acc_ref[:, 4:5, :]
+    done = acc_ref[:, 5:6, :]
+    live = (c * C_STEP < max_n) & \
+        (jnp.max(jnp.where(done < 0.5, tbuf, 0.0)) >= T_EPS)
 
     @pl.when(live)
     def _():
-        def sub_body(sub, carry):
-            acc, tb = carry
-            start = pl.multiple_of(sub * SUB, SUB)
-            block = ent_ref[:, pl.ds(start, SUB), :]  # [TB,SUB,A]
-            mx = block[:, :, 0][:, :, None]           # [TB, SUB, 1]
-            my = block[:, :, 1][:, :, None]
-            ca = block[:, :, 2][:, :, None]
-            cb = block[:, :, 3][:, :, None]
-            cc = block[:, :, 4][:, :, None]
-            op = block[:, :, 8][:, :, None]
-            e0 = c * C_STEP + sub * SUB
-            idxv = (e0 + jax.lax.broadcasted_iota(
-                jnp.int32, (1, SUB, 1), 1)).astype(jnp.float32)
-            evalid = idxv < n_vec                     # [TB, SUB, P] bcast
-
-            dx = pxv - mx                             # [TB, SUB, P]
-            dy = pyv - my
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-            alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN) & evalid,
-                              alpha, 0.0)
-
-            # sequential front-to-back, unrolled over SUB; [TB, 1, P] vector
-            # ops (2048 lanes). No cumprod: Mosaic lacks reduce_prod.
-            w_rows = []
-            for s in range(SUB):
-                a = alpha[:, s:s + 1, :]
-                tb_next = tb * (1.0 - a)
-                keep = tb_next >= T_EPS
-                w_rows.append(jnp.where(keep, a * tb, 0.0))
-                tb = jnp.where(keep, tb_next, tb)
-            w = jnp.concatenate(w_rows, axis=1)       # [TB, SUB, P]
-
-            attr = jnp.concatenate(
-                [block[:, :, 5:8], block[:, :, 9:10]], axis=2)  # [TB,SUB,4]
-            attr_t = jnp.swapaxes(attr, 1, 2)                   # [TB,4,SUB]
-            acc = acc + jax.lax.dot_general(
-                attr_t, w,
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)   # [TB, 4, P]
-            return acc, tb
-
-        acc, tb = jax.lax.fori_loop(
-            0, C_STEP // SUB, sub_body,
-            (acc_ref[:, 0:4, :], acc_ref[:, 4:5, :]))
-        acc_ref[:, 0:4, :] = acc
-        acc_ref[:, 4:5, :] = tb
+        blk = ent_ref[:, :, :]
+        alpha, _, lg, t_within, _ = _chunk_core(
+            blk, aux_ref[:, 0:1, :], aux_ref[:, 1:2, :], aux_ref[:, 2:3, :],
+            c * C_STEP, _sublane_cumsum)
+        w, _, _, tbuf2, done2 = _chunk_weights(alpha, lg, t_within, tbuf,
+                                               done)
+        attr_t = jnp.swapaxes(_attr_cols(blk), 1, 2)        # [TB, 4, C]
+        acc_ref[:, 0:4, :] = acc_ref[:, 0:4, :] + _bdot(attr_t, w, 2, 1)
+        acc_ref[:, 4:5, :] = tbuf2
+        acc_ref[:, 5:6, :] = done2
 
     @pl.when(c == n_chunks - 1)
     def _():
         out_ref[:, :, :] = acc_ref[:, :, :]
+
+
+def _pad_tk(ent, meta):
+    T, K, _ = ent.shape
+    T_pad = (-T) % TB
+    K_pad = (-K) % C_STEP
+    if T_pad or K_pad:
+        ent = jnp.pad(ent, ((0, T_pad), (0, K_pad), (0, 0)))
+        meta = jnp.pad(meta, ((0, T_pad), (0, 0)))
+    return ent, meta, T + T_pad, K + K_pad
+
+
+def _make_aux(meta, Tp, P, tile_w):
+    """[Tp, 8, P] f32 rows: pixel x, pixel y, entry count, zeros."""
+    pix = jnp.arange(P, dtype=jnp.int32)
+    px = meta[:, 1, None].astype(jnp.float32) + (pix % tile_w)[None, :]
+    py = meta[:, 2, None].astype(jnp.float32) + (pix // tile_w)[None, :]
+    cnt = jnp.broadcast_to(meta[:, 0, None].astype(jnp.float32), (Tp, P))
+    return jnp.stack([px, py, cnt] + [jnp.zeros_like(px)] * 5, axis=1)
 
 
 def blend_tiles_pallas(ent: jax.Array, meta: jax.Array, *, tile_h: int,
@@ -134,27 +215,11 @@ def blend_tiles_pallas(ent: jax.Array, meta: jax.Array, *, tile_h: int,
 
     T, K, _ = ent.shape
     P = tile_h * tile_w
-
-    # pad tiles to a TB multiple and entries to a C_STEP multiple
-    T_pad = (-T) % TB
-    K_pad = (-K) % C_STEP
-    if T_pad or K_pad:
-        ent = jnp.pad(ent, ((0, T_pad), (0, K_pad), (0, 0)))
-        meta = jnp.pad(meta, ((0, T_pad), (0, 0)))
-    Tp = T + T_pad
-    Kp = K + K_pad
+    ent, meta, Tp, Kp = _pad_tk(ent, meta)
     n_chunks = Kp // C_STEP
+    aux = _make_aux(meta, Tp, P, tile_w)
 
-    # aux rows per tile: pixel x / pixel y / entry count (vector-friendly)
-    pix = jnp.arange(P, dtype=jnp.int32)
-    px = meta[:, 1, None].astype(jnp.float32) + (pix % tile_w)[None, :]
-    py = meta[:, 2, None].astype(jnp.float32) + (pix // tile_w)[None, :]
-    cnt = jnp.broadcast_to(meta[:, 0, None].astype(jnp.float32), (Tp, P))
-    aux = jnp.stack([px, py, cnt] + [jnp.zeros_like(px)] * 5, axis=1)
-
-    kernel = functools.partial(_blend_kernel_v2, K=Kp, P=P, tile_w=tile_w,
-                               n_chunks=n_chunks)
-
+    kernel = functools.partial(_blend_fwd_kernel, P=P, n_chunks=n_chunks)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Tp // TB, n_chunks),
@@ -181,276 +246,380 @@ def blend_tiles_pallas(ent: jax.Array, meta: jax.Array, *, tile_h: int,
     return rgb, tbuf, dep
 
 
+# --------------------------------------------------------------------------
+# Pallas backward kernels (analytic two-pass suffix form)
+
+def _bwd_passA_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
+                      *, P: int, n_chunks: int):
+    """Accumulate S = sum_j w_j (a_j . dA) per pixel.
+
+    dg_ref [TB, 8, P]: rows 0-2 d_rgb, 3 d_depth. out_ref [TB, 8, P] row 0 =
+    S. acc_ref scratch rows: 0 S, 1 tbuf, 2 done."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:, 0:1, :] = jnp.zeros((TB, 1, P), jnp.float32)
+        acc_ref[:, 1:2, :] = jnp.ones((TB, 1, P), jnp.float32)
+        acc_ref[:, 2:3, :] = jnp.zeros((TB, 1, P), jnp.float32)
+
+    max_n = meta_ref[4 * (i * TB)]
+    for j in range(1, TB):
+        max_n = jnp.maximum(max_n, meta_ref[4 * (i * TB + j)])
+
+    tbuf = acc_ref[:, 1:2, :]
+    done = acc_ref[:, 2:3, :]
+    live = (c * C_STEP < max_n) & \
+        (jnp.max(jnp.where(done < 0.5, tbuf, 0.0)) >= T_EPS)
+
+    @pl.when(live)
+    def _():
+        blk = ent_ref[:, :, :]
+        alpha, _, lg, t_within, _ = _chunk_core(
+            blk, aux_ref[:, 0:1, :], aux_ref[:, 1:2, :], aux_ref[:, 2:3, :],
+            c * C_STEP, _sublane_cumsum)
+        w, _, _, tbuf2, done2 = _chunk_weights(alpha, lg, t_within, tbuf,
+                                               done)
+        a_dot = _bdot(_attr_cols(blk), dg_ref[:, 0:4, :], 2, 1)  # [TB,C,P]
+        acc_ref[:, 0:1, :] = acc_ref[:, 0:1, :] + \
+            jnp.sum(w * a_dot, axis=1, keepdims=True)
+        acc_ref[:, 1:2, :] = tbuf2
+        acc_ref[:, 2:3, :] = done2
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out_ref[:, 0:1, :] = acc_ref[:, 0:1, :]
+        out_ref[:, 1:8, :] = jnp.zeros((TB, 7, P), jnp.float32)
+
+
+def _bwd_passB_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
+                      *, P: int, n_chunks: int):
+    """Emit per-entry gradients, converting prefix sums to suffixes.
+
+    dg_ref [TB, 8, P]: rows 0-2 d_rgb, 3 d_depth, 4 tail (= T_fin * dT),
+    5 S (pass A total). out_ref [TB, C_STEP, ATTRS] gradient block for this
+    (tile-block, chunk). acc_ref scratch rows: 0 prefix, 1 tbuf, 2 done."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:, 0:1, :] = jnp.zeros((TB, 1, P), jnp.float32)
+        acc_ref[:, 1:2, :] = jnp.ones((TB, 1, P), jnp.float32)
+        acc_ref[:, 2:3, :] = jnp.zeros((TB, 1, P), jnp.float32)
+
+    max_n = meta_ref[4 * (i * TB)]
+    for j in range(1, TB):
+        max_n = jnp.maximum(max_n, meta_ref[4 * (i * TB + j)])
+
+    tbuf = acc_ref[:, 1:2, :]
+    done = acc_ref[:, 2:3, :]
+    live = (c * C_STEP < max_n) & \
+        (jnp.max(jnp.where(done < 0.5, tbuf, 0.0)) >= T_EPS)
+
+    # dead chunks have all-zero weights hence all-zero gradients
+    out_ref[:, :, :] = jnp.zeros((TB, C_STEP, ATTRS), jnp.float32)
+
+    @pl.when(live)
+    def _():
+        blk = ent_ref[:, :, :]
+        alpha, one_minus, lg, t_within, res = _chunk_core(
+            blk, aux_ref[:, 0:1, :], aux_ref[:, 1:2, :], aux_ref[:, 2:3, :],
+            c * C_STEP, _sublane_cumsum)
+        dx, dy, power, raw, gate = res
+        w, kept, t_excl, tbuf2, done2 = _chunk_weights(
+            alpha, lg, t_within, tbuf, done)
+        dA = dg_ref[:, 0:4, :]
+        a_dot = _bdot(_attr_cols(blk), dA, 2, 1)            # [TB, C, P]
+        contrib = w * a_dot
+        s_incl = acc_ref[:, 0:1, :] + _sublane_cumsum(contrib)
+        suffix = dg_ref[:, 5:6, :] - s_incl                 # sum_{j>i}
+        d_alpha = jnp.where(
+            kept,
+            t_excl * a_dot - (suffix + dg_ref[:, 4:5, :]) / one_minus,
+            0.0)
+        d_raw = jnp.where(gate & (raw < ALPHA_MAX), d_alpha, 0.0)
+        d_power = d_raw * raw                               # d(op*e^p)/dp
+        ca = blk[:, :, 2][:, :, None]
+        cb = blk[:, :, 3][:, :, None]
+        cc = blk[:, :, 4][:, :, None]
+        d_dx = d_power * (-(ca * dx) - cb * dy)
+        d_dy = d_power * (-(cc * dy) - cb * dx)
+
+        def lsum(x):
+            return jnp.sum(x, axis=2, keepdims=True)        # [TB, C, 1]
+
+        d_mx = -lsum(d_dx)
+        d_my = -lsum(d_dy)
+        d_ca = lsum(d_power * (-0.5 * dx * dx))
+        d_cb = lsum(d_power * (-dx * dy))
+        d_cc = lsum(d_power * (-0.5 * dy * dy))
+        d_op = lsum(d_raw * jnp.exp(power))
+        d_a = _bdot(w, dA, 2, 2)                            # [TB, C, 4]
+        zeros = jnp.zeros((TB, C_STEP, ATTRS - 10), jnp.float32)
+        out_ref[:, :, :] = jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_a[:, :, 0:3], d_op,
+             d_a[:, :, 3:4], zeros], axis=2)
+
+        acc_ref[:, 0:1, :] = s_incl[:, -1:, :]
+        acc_ref[:, 1:2, :] = tbuf2
+        acc_ref[:, 2:3, :] = done2
+
+
+def _blend_bwd_pallas(ent, meta, tbuf_out, cts, *, tile_h: int, tile_w: int):
+    """Pallas two-pass analytic backward. Returns d_ent [T, K, ATTRS]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d_rgb, d_tbuf, d_dep = cts                  # [T,P,3], [T,P], [T,P]
+    T, K, A = ent.shape
+    P = tile_h * tile_w
+    ent, meta, Tp, Kp = _pad_tk(ent, meta)
+    n_chunks = Kp // C_STEP
+    aux = _make_aux(meta, Tp, P, tile_w)
+
+    def padT(x):
+        return jnp.pad(x, ((0, Tp - T),) + ((0, 0),) * (x.ndim - 1))
+
+    dA = jnp.concatenate(
+        [jnp.moveaxis(padT(d_rgb), 2, 1), padT(d_dep)[:, None, :]], axis=1)
+    tail = (padT(tbuf_out) * padT(d_tbuf))[:, None, :]      # [Tp, 1, P]
+
+    zrow = jnp.zeros((Tp, 1, P), jnp.float32)
+    dg_a = jnp.concatenate([dA, zrow, zrow, zrow, zrow], axis=1)
+
+    def spec_common():
+        return [
+            pl.BlockSpec((TB, 8, P), lambda i, c, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, C_STEP, ATTRS), lambda i, c, *_: (i, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 8, P), lambda i, c, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    gridA = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Tp // TB, n_chunks),
+        in_specs=spec_common(),
+        out_specs=pl.BlockSpec((TB, 8, P), lambda i, c, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TB, 8, P), jnp.float32)],
+    )
+    sA = pl.pallas_call(
+        functools.partial(_bwd_passA_kernel, P=P, n_chunks=n_chunks),
+        grid_spec=gridA,
+        out_shape=jax.ShapeDtypeStruct((Tp, 8, P), jnp.float32),
+    )(meta.reshape(-1), aux, ent, dg_a)
+    s_total = sA[:, 0:1, :]                                 # [Tp, 1, P]
+
+    dg_b = jnp.concatenate([dA, tail, s_total, zrow, zrow], axis=1)
+    gridB = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Tp // TB, n_chunks),
+        in_specs=spec_common(),
+        out_specs=pl.BlockSpec((TB, C_STEP, ATTRS),
+                               lambda i, c, *_: (i, c, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TB, 8, P), jnp.float32)],
+    )
+    d_ent = pl.pallas_call(
+        functools.partial(_bwd_passB_kernel, P=P, n_chunks=n_chunks),
+        grid_spec=gridB,
+        out_shape=jax.ShapeDtypeStruct((Tp, Kp, ATTRS), jnp.float32),
+    )(meta.reshape(-1), aux, ent, dg_b)
+    return d_ent[:T, :K, :A]
+
+
+# --------------------------------------------------------------------------
+# XLA twins (oracle semantics for the kernels; AD ground truth)
+
+def _tile_pix(meta, tile_w, P):
+    tile_px = jnp.asarray(np.arange(P) % tile_w, jnp.float32)
+    tile_py = jnp.asarray(np.arange(P) // tile_w, jnp.float32)
+    pxv = meta[:, 1].astype(jnp.float32)[:, None] + tile_px[None, :]
+    pyv = meta[:, 2].astype(jnp.float32)[:, None] + tile_py[None, :]
+    return pxv[:, None, :], pyv[:, None, :]     # [T, 1, P]
+
+
+def _cumsum1(x):
+    return jnp.cumsum(x, axis=1)
+
+
 def _jnp_blend_from_ent(ent: jax.Array, meta: jax.Array, *, tile_h: int,
                         tile_w: int, chunk: int = 32):
     """Mathematically identical jnp blend over the packed entries — the
-    default XLA path, the custom-VJP backward, and the interpret-mode
-    oracle for the kernel."""
+    default XLA path and the AD ground truth for the analytic backward."""
     T, K, A = ent.shape
     P = tile_h * tile_w
-    tile_px = jnp.asarray(np.arange(P) % tile_w, jnp.float32)
-    tile_py = jnp.asarray(np.arange(P) // tile_w, jnp.float32)
-    pxv = meta[:, 1].astype(jnp.float32)[:, None] + tile_px[None, :]  # [T,P]
-    pyv = meta[:, 2].astype(jnp.float32)[:, None] + tile_py[None, :]
-    counts = meta[:, 0]
+    pxv, pyv = _tile_pix(meta, tile_w, P)
+    n_vec = meta[:, 0].astype(jnp.float32)[:, None, None]
 
     C = min(chunk, K)
     n_chunks = K // C
     ent_c = ent.reshape(T, n_chunks, C, A)
 
     def body(carry, xs):
-        acc, tbuf = carry
-        blk, base = xs          # blk [T, C, ATTRS]
-        mx = blk[:, :, 0][:, :, None]
-        my = blk[:, :, 1][:, :, None]
-        ca = blk[:, :, 2][:, :, None]
-        cb = blk[:, :, 3][:, :, None]
-        cc = blk[:, :, 4][:, :, None]
-        op = blk[:, :, 8][:, :, None]
-        idxv = base + jnp.arange(C, dtype=jnp.int32)[None, :]
-        evalid = (idxv < counts[:, None])[:, :, None]
+        acc, tbuf, done = carry
+        blk, base = xs          # blk [T, C, A]
+        alpha, _, lg, t_within, _ = _chunk_core(blk, pxv, pyv, n_vec, base,
+                                                _cumsum1)
+        w, _, _, tbuf, done = _chunk_weights(alpha, lg, t_within, tbuf, done)
+        acc = acc + _bdot(jnp.swapaxes(_attr_cols(blk), 1, 2), w, 2, 1)
+        return (acc, tbuf, done), None
 
-        dx = pxv[:, None, :] - mx           # [T, C, P]
-        dy = pyv[:, None, :] - my
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-        alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN) & evalid,
-                          alpha, 0.0)
-        one_minus = 1.0 - alpha
-        # cumulative product in log space: cumsum's VJP (a reverse cumsum)
-        # is far cheaper on TPU than cumprod's division-based transpose
-        t_within = jnp.exp(jnp.cumsum(jnp.log(one_minus), axis=1))
-        t_excl = tbuf[:, None, :] * jnp.concatenate(
-            [jnp.ones_like(t_within[:, :1]), t_within[:, :-1]], axis=1)
-        t_after = tbuf[:, None, :] * t_within
-        kept = t_after >= T_EPS
-        w = jnp.where(kept, alpha * t_excl, 0.0)
-
-        attr = jnp.concatenate([blk[:, :, 5:8], blk[:, :, 9:10]], axis=2)
-        acc = acc + jnp.einsum("tcp,tca->tap", w, attr)
-        tbuf = tbuf * jnp.exp(
-            jnp.sum(jnp.where(kept, jnp.log(one_minus), 0.0), axis=1))
-        return (acc, tbuf), None
-
-    init = (jnp.zeros((T, 4, P), jnp.float32), jnp.ones((T, P), jnp.float32))
+    init = (jnp.zeros((T, 4, P), jnp.float32),
+            jnp.ones((T, 1, P), jnp.float32),
+            jnp.zeros((T, 1, P), jnp.float32))
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * C
-    (acc, tbuf), _ = jax.lax.scan(
+    (acc, tbuf, _), _ = jax.lax.scan(
         jax.checkpoint(body), init,
         (jnp.moveaxis(ent_c, 1, 0), bases))
     rgb = jnp.moveaxis(acc[:, 0:3, :], 1, 2)
     dep = acc[:, 3, :]
-    return rgb, tbuf, dep
+    return rgb, tbuf[:, 0, :], dep
 
 
-def _blend_bwd_analytic(ent: jax.Array, meta: jax.Array, cts, *,
-                        tile_h: int, tile_w: int, chunk: int = 32):
-    """Analytic VJP of the blend w.r.t. the packed entries.
-
-    Standard 3DGS backward identity, per pixel with front-to-back weights
-    w_i = α_i·T_i (T_i = transmittance before entry i, early-stop gated):
-
-      dL/dα_i = T_i·(a_i·dA) − [ Σ_{j>i} w_j·(a_j·dA) + T_out·dT ] / (1−α_i)
-      dL/da_i = w_i · dA
-
-    computed with TWO forward-ordered replays (pass A accumulates the total
-    Σ_j w_j (a_j·dA); pass B turns prefix sums into suffixes) — no reverse
-    scan, no rematerialization stack, and the structure ports directly to a
-    Pallas backward kernel. Matches JAX AD of `_jnp_blend_from_ent` away
-    from the (measure-zero) gating thresholds.
-    """
-    d_rgb, d_tbuf, d_dep = cts                     # [T,P,3], [T,P], [T,P]
-    dA = jnp.concatenate([jnp.moveaxis(d_rgb, 2, 1), d_dep[:, None, :]],
-                         axis=1)                   # [T, 4, P]
-
+def _jnp_blend_early(ent: jax.Array, meta: jax.Array, *, tile_h: int,
+                     tile_w: int, chunk: int = 32):
+    """While-loop blend with global early termination (stops as soon as no
+    tile has both entries left and a live pixel). Exactly equivalent to the
+    scan blend. Not AD-differentiable (while_loop); used as a custom-VJP
+    forward with the analytic backward."""
     T_, K, A = ent.shape
     P = tile_h * tile_w
-    tile_px = jnp.asarray(np.arange(P) % tile_w, jnp.float32)
-    tile_py = jnp.asarray(np.arange(P) // tile_w, jnp.float32)
-    pxv = meta[:, 1].astype(jnp.float32)[:, None] + tile_px[None, :]
-    pyv = meta[:, 2].astype(jnp.float32)[:, None] + tile_py[None, :]
+    pxv, pyv = _tile_pix(meta, tile_w, P)
     counts = meta[:, 0]
+    n_vec = counts.astype(jnp.float32)[:, None, None]
 
     C = min(chunk, K)
     n_chunks = K // C
     ent_c = jnp.moveaxis(ent.reshape(T_, n_chunks, C, A), 1, 0)
 
-    def alpha_of(blk, base, tbuf):
-        mx = blk[:, :, 0][:, :, None]
-        my = blk[:, :, 1][:, :, None]
-        ca = blk[:, :, 2][:, :, None]
-        cb = blk[:, :, 3][:, :, None]
-        cc = blk[:, :, 4][:, :, None]
-        op = blk[:, :, 8][:, :, None]
-        idxv = base + jnp.arange(C, dtype=jnp.int32)[None, :]
-        evalid = (idxv < counts[:, None])[:, :, None]
-        dx = pxv[:, None, :] - mx
-        dy = pyv[:, None, :] - my
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        raw = op * jnp.exp(power)
-        alpha = jnp.minimum(ALPHA_MAX, raw)
-        gate = (power <= 0.0) & (alpha >= ALPHA_MIN) & evalid
-        alpha = jnp.where(gate, alpha, 0.0)
-        one_minus = 1.0 - alpha
-        t_within = jnp.exp(jnp.cumsum(jnp.log(one_minus), axis=1))
-        t_excl = tbuf[:, None, :] * jnp.concatenate(
-            [jnp.ones_like(t_within[:, :1]), t_within[:, :-1]], axis=1)
-        kept = tbuf[:, None, :] * t_within >= T_EPS
-        w = jnp.where(kept, alpha * t_excl, 0.0)
-        tbuf_next = tbuf * jnp.exp(
-            jnp.sum(jnp.where(kept, jnp.log(one_minus), 0.0), axis=1))
-        aux = (dx, dy, power, raw, gate, kept, t_excl, one_minus)
-        return alpha, w, tbuf_next, aux
+    def cond(carry):
+        ci, acc, tbuf, done = carry
+        alive = (counts > ci * C) & \
+            (jnp.max(jnp.where(done < 0.5, tbuf, 0.0), axis=(1, 2)) >= T_EPS)
+        return (ci < n_chunks) & jnp.any(alive)
 
-    def live_cond(ci, tbuf):
-        live = (counts > ci * C) & (jnp.max(tbuf, axis=1) >= T_EPS)
-        return (ci < n_chunks) & jnp.any(live)
-
-    # pass A: total per-pixel weighted cotangent sum + T_out (early-exit)
-    def passA_body(carry):
-        ci, s_tot, tbuf = carry
+    def body(carry):
+        ci, acc, tbuf, done = carry
         blk = jax.lax.dynamic_index_in_dim(ent_c, ci, 0, keepdims=False)
-        _, w, tbuf_next, _ = alpha_of(blk, ci * C, tbuf)
-        a = jnp.concatenate([blk[:, :, 5:8], blk[:, :, 9:10]], axis=2)
-        a_dot = jnp.einsum("tca,tap->tcp", a, dA)   # [T, C, P]
-        s_tot = s_tot + jnp.sum(w * a_dot, axis=1)
-        return ci + 1, s_tot, tbuf_next
+        alpha, _, lg, t_within, _ = _chunk_core(blk, pxv, pyv, n_vec,
+                                                ci * C, _cumsum1)
+        w, _, _, tbuf, done = _chunk_weights(alpha, lg, t_within, tbuf, done)
+        acc = acc + _bdot(jnp.swapaxes(_attr_cols(blk), 1, 2), w, 2, 1)
+        return ci + 1, acc, tbuf, done
 
-    _, s_total, t_out = jax.lax.while_loop(
-        lambda c: live_cond(c[0], c[2]), passA_body,
-        (jnp.asarray(0, jnp.int32), jnp.zeros((T_, P), jnp.float32),
-         jnp.ones((T_, P), jnp.float32)))
+    init = (jnp.asarray(0, jnp.int32),
+            jnp.zeros((T_, 4, P), jnp.float32),
+            jnp.ones((T_, 1, P), jnp.float32),
+            jnp.zeros((T_, 1, P), jnp.float32))
+    _, acc, tbuf, _ = jax.lax.while_loop(cond, body, init)
+    rgb = jnp.moveaxis(acc[:, 0:3, :], 1, 2)
+    dep = acc[:, 3, :]
+    return rgb, tbuf[:, 0, :], dep
 
-    tail = t_out * d_tbuf                           # [T, P]
+
+def _blend_bwd_analytic(ent, meta, tbuf_out, cts, *, tile_h: int,
+                        tile_w: int, chunk: int = 32):
+    """jnp twin of the Pallas two-pass backward (interpretable oracle).
+    Matches JAX AD of `_jnp_blend_from_ent` away from the (measure-zero)
+    gating thresholds."""
+    d_rgb, d_tbuf, d_dep = cts                  # [T,P,3], [T,P], [T,P]
+    dA = jnp.concatenate([jnp.moveaxis(d_rgb, 2, 1), d_dep[:, None, :]],
+                         axis=1)                # [T, 4, P]
+
+    T_, K, A = ent.shape
+    P = tile_h * tile_w
+    pxv, pyv = _tile_pix(meta, tile_w, P)
+    counts = meta[:, 0]
+    n_vec = counts.astype(jnp.float32)[:, None, None]
+
+    C = min(chunk, K)
+    n_chunks = K // C
+    ent_c = jnp.moveaxis(ent.reshape(T_, n_chunks, C, A), 1, 0)
+
+    def live_cond(ci, tbuf, done):
+        alive = (counts > ci * C) & \
+            (jnp.max(jnp.where(done < 0.5, tbuf, 0.0), axis=(1, 2)) >= T_EPS)
+        return (ci < n_chunks) & jnp.any(alive)
+
+    # pass A: total per-pixel weighted cotangent sum (early-exit)
+    def passA_body(carry):
+        ci, s_tot, tbuf, done = carry
+        blk = jax.lax.dynamic_index_in_dim(ent_c, ci, 0, keepdims=False)
+        alpha, _, lg, t_within, _ = _chunk_core(blk, pxv, pyv, n_vec,
+                                                ci * C, _cumsum1)
+        w, _, _, tbuf, done = _chunk_weights(alpha, lg, t_within, tbuf, done)
+        a_dot = _bdot(_attr_cols(blk), dA, 2, 1)            # [T, C, P]
+        s_tot = s_tot + jnp.sum(w * a_dot, axis=1, keepdims=True)
+        return ci + 1, s_tot, tbuf, done
+
+    _, s_total, _, _ = jax.lax.while_loop(
+        lambda c: live_cond(c[0], c[2], c[3]), passA_body,
+        (jnp.asarray(0, jnp.int32), jnp.zeros((T_, 1, P), jnp.float32),
+         jnp.ones((T_, 1, P), jnp.float32),
+         jnp.zeros((T_, 1, P), jnp.float32)))
+
+    tail = (tbuf_out * d_tbuf)[:, None, :]                  # [T, 1, P]
 
     # pass B: prefix -> suffix, emit entry gradients (early-exit; skipped
     # chunks have zero weights hence zero gradients)
-    def passB(s_pref, tbuf, blk, base):
-        alpha, w, tbuf_next, aux = alpha_of(blk, base, tbuf)
-        dx, dy, power, raw, gate, kept, t_excl, one_minus = aux
-        a = jnp.concatenate([blk[:, :, 5:8], blk[:, :, 9:10]], axis=2)
-        a_dot = jnp.einsum("tca,tap->tcp", a, dA)   # [T, C, P]
+    def passB_body(carry):
+        ci, s_pref, tbuf, done, d_acc = carry
+        blk = jax.lax.dynamic_index_in_dim(ent_c, ci, 0, keepdims=False)
+        alpha, one_minus, lg, t_within, res = _chunk_core(
+            blk, pxv, pyv, n_vec, ci * C, _cumsum1)
+        dx, dy, power, raw, gate = res
+        w, kept, t_excl, tbuf, done = _chunk_weights(alpha, lg, t_within,
+                                                     tbuf, done)
+        a_dot = _bdot(_attr_cols(blk), dA, 2, 1)            # [T, C, P]
         contrib = w * a_dot
-        # prefix including entry i (within-chunk cumsum + carried prefix)
-        s_incl = s_pref[:, None, :] + jnp.cumsum(contrib, axis=1)
-        suffix = s_total[:, None, :] - s_incl       # Σ_{j>i}
+        s_incl = s_pref + jnp.cumsum(contrib, axis=1)
+        suffix = s_total - s_incl                           # sum_{j>i}
         d_alpha = jnp.where(
-            kept,
-            t_excl * a_dot - (suffix + tail[:, None, :]) / one_minus,
-            0.0)
-        # α = min(0.99, raw) gated
+            kept, t_excl * a_dot - (suffix + tail) / one_minus, 0.0)
         d_raw = jnp.where(gate & (raw < ALPHA_MAX), d_alpha, 0.0)
-        d_power = d_raw * raw                       # d(op·e^p)/dp = raw
-        d_op = jnp.sum(d_raw * jnp.exp(power), axis=2)
+        d_power = d_raw * raw
         ca = blk[:, :, 2][:, :, None]
         cb = blk[:, :, 3][:, :, None]
         cc = blk[:, :, 4][:, :, None]
         d_dx = d_power * (-(ca * dx) - cb * dy)
         d_dy = d_power * (-(cc * dy) - cb * dx)
-        d_mx = -jnp.sum(d_dx, axis=2)
-        d_my = -jnp.sum(d_dy, axis=2)
-        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=2)
-        d_cb = jnp.sum(d_power * (-dx * dy), axis=2)
-        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=2)
-        d_a = jnp.einsum("tcp,tap->tca", w, dA)     # [T, C, 4]
 
-        zeros = jnp.zeros_like(d_mx)
-        d_blk = jnp.stack(
-            [d_mx, d_my, d_ca, d_cb, d_cc,
-             d_a[:, :, 0], d_a[:, :, 1], d_a[:, :, 2],
-             d_op, d_a[:, :, 3]]
-            + [zeros] * (A - 10), axis=-1)          # [T, C, A]
-        return s_incl[:, -1, :], tbuf_next, d_blk
+        def lsum(x):
+            return jnp.sum(x, axis=2, keepdims=True)
 
-    def passB_body(carry):
-        ci, s_pref, tbuf, d_acc = carry
-        blk = jax.lax.dynamic_index_in_dim(ent_c, ci, 0, keepdims=False)
-        s_pref, tbuf, d_blk = passB(s_pref, tbuf, blk, ci * C)
+        d_a = _bdot(w, dA, 2, 2)                            # [T, C, 4]
+        zeros = jnp.zeros((T_, C, A - 10), jnp.float32)
+        d_blk = jnp.concatenate(
+            [-lsum(d_dx), -lsum(d_dy), lsum(d_power * (-0.5 * dx * dx)),
+             lsum(d_power * (-dx * dy)), lsum(d_power * (-0.5 * dy * dy)),
+             d_a[:, :, 0:3], lsum(d_raw * jnp.exp(power)), d_a[:, :, 3:4],
+             zeros], axis=2)                                # [T, C, A]
         d_acc = jax.lax.dynamic_update_index_in_dim(d_acc, d_blk, ci, 0)
-        return ci + 1, s_pref, tbuf, d_acc
+        return ci + 1, s_incl[:, -1:, :], tbuf, done, d_acc
 
-    _, _, _, d_chunks = jax.lax.while_loop(
-        lambda c: live_cond(c[0], c[2]), passB_body,
-        (jnp.asarray(0, jnp.int32), jnp.zeros((T_, P), jnp.float32),
-         jnp.ones((T_, P), jnp.float32),
+    _, _, _, _, d_chunks = jax.lax.while_loop(
+        lambda c: live_cond(c[0], c[2], c[3]), passB_body,
+        (jnp.asarray(0, jnp.int32), jnp.zeros((T_, 1, P), jnp.float32),
+         jnp.ones((T_, 1, P), jnp.float32),
+         jnp.zeros((T_, 1, P), jnp.float32),
          jnp.zeros((n_chunks, T_, C, A), jnp.float32)))
     d_ent = jnp.moveaxis(d_chunks, 0, 1).reshape(T_, K, A)
     return d_ent
 
 
-def _jnp_blend_early(ent: jax.Array, meta: jax.Array, *, tile_h: int,
-                     tile_w: int, chunk: int = 32):
-    """While-loop blend with *global early termination*.
+# --------------------------------------------------------------------------
+# custom-VJP assembly
 
-    The scan blend computes every entry chunk and masks dead contributions;
-    for dense scenes (1M Gaussians saturate every tile's transmittance
-    within a few dozen entries) that wastes most of the work. This variant
-    stops as soon as no tile both (a) has entries left and (b) retains
-    transmittance >= 1e-4 — the CUDA reference's early termination at the
-    granularity of chunks. Exactly equivalent to the scan blend (skipped
-    chunks contribute all-zero weights). Not AD-differentiable (while_loop);
-    used as the custom-VJP forward with the analytic backward.
-    """
-    T_, K, A = ent.shape
-    P = tile_h * tile_w
-    tile_px = jnp.asarray(np.arange(P) % tile_w, jnp.float32)
-    tile_py = jnp.asarray(np.arange(P) // tile_w, jnp.float32)
-    pxv = meta[:, 1].astype(jnp.float32)[:, None] + tile_px[None, :]
-    pyv = meta[:, 2].astype(jnp.float32)[:, None] + tile_py[None, :]
-    counts = meta[:, 0]
-
-    C = min(chunk, K)
-    n_chunks = K // C
-    ent_c = jnp.moveaxis(ent.reshape(T_, n_chunks, C, A), 1, 0)
-
-    def chunk_update(blk, base, acc, tbuf):
-        mx = blk[:, :, 0][:, :, None]
-        my = blk[:, :, 1][:, :, None]
-        ca = blk[:, :, 2][:, :, None]
-        cb = blk[:, :, 3][:, :, None]
-        cc = blk[:, :, 4][:, :, None]
-        op = blk[:, :, 8][:, :, None]
-        idxv = base + jnp.arange(C, dtype=jnp.int32)[None, :]
-        evalid = (idxv < counts[:, None])[:, :, None]
-        dx = pxv[:, None, :] - mx
-        dy = pyv[:, None, :] - my
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-        alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN) & evalid,
-                          alpha, 0.0)
-        one_minus = 1.0 - alpha
-        t_within = jnp.exp(jnp.cumsum(jnp.log(one_minus), axis=1))
-        t_excl = tbuf[:, None, :] * jnp.concatenate(
-            [jnp.ones_like(t_within[:, :1]), t_within[:, :-1]], axis=1)
-        kept = tbuf[:, None, :] * t_within >= T_EPS
-        w = jnp.where(kept, alpha * t_excl, 0.0)
-        attr = jnp.concatenate([blk[:, :, 5:8], blk[:, :, 9:10]], axis=2)
-        acc = acc + jnp.einsum("tcp,tca->tap", w, attr)
-        tbuf = tbuf * jnp.exp(
-            jnp.sum(jnp.where(kept, jnp.log(one_minus), 0.0), axis=1))
-        return acc, tbuf
-
-    def cond(carry):
-        ci, acc, tbuf = carry
-        live = (counts > ci * C) & \
-            (jnp.max(tbuf, axis=1) >= T_EPS)
-        return (ci < n_chunks) & jnp.any(live)
-
-    def body(carry):
-        ci, acc, tbuf = carry
-        blk = jax.lax.dynamic_index_in_dim(ent_c, ci, 0, keepdims=False)
-        acc, tbuf = chunk_update(blk, ci * C, acc, tbuf)
-        return ci + 1, acc, tbuf
-
-    init = (jnp.asarray(0, jnp.int32),
-            jnp.zeros((T_, 4, P), jnp.float32),
-            jnp.ones((T_, P), jnp.float32))
-    _, acc, tbuf = jax.lax.while_loop(cond, body, init)
-    rgb = jnp.moveaxis(acc[:, 0:3, :], 1, 2)
-    dep = acc[:, 3, :]
-    return rgb, tbuf, dep
-
-
-def _make_blend_vjp(tile_h: int, tile_w: int, forward: str):
+def _make_blend_vjp(tile_h: int, tile_w: int, forward: str, backward: str):
     @jax.custom_vjp
     def blend(ent, meta):
         if forward == "pallas":
@@ -461,12 +630,17 @@ def _make_blend_vjp(tile_h: int, tile_w: int, forward: str):
         return _jnp_blend_from_ent(ent, meta, tile_h=tile_h, tile_w=tile_w)
 
     def fwd(ent, meta):
-        return blend(ent, meta), (ent, meta)
+        out = blend(ent, meta)
+        return out, (ent, meta, out[1])         # save T_fin for the tail
 
     def bwd(res, cts):
-        ent, meta = res
-        d_ent = _blend_bwd_analytic(ent, meta, cts, tile_h=tile_h,
-                                    tile_w=tile_w)
+        ent, meta, tbuf_out = res
+        if backward == "pallas":
+            d_ent = _blend_bwd_pallas(ent, meta, tbuf_out, cts,
+                                      tile_h=tile_h, tile_w=tile_w)
+        else:
+            d_ent = _blend_bwd_analytic(ent, meta, tbuf_out, cts,
+                                        tile_h=tile_h, tile_w=tile_w)
         d_meta = np.zeros(meta.shape, jax.dtypes.float0)
         return d_ent, d_meta
 
@@ -477,25 +651,25 @@ def _make_blend_vjp(tile_h: int, tile_w: int, forward: str):
 _BLEND_CACHE = {}
 
 
-def blend_pallas(ent, meta, tile_h: int, tile_w: int):
-    key = (tile_h, tile_w, "pallas")
+def _cached(tile_h, tile_w, forward, backward):
+    key = (tile_h, tile_w, forward, backward)
     if key not in _BLEND_CACHE:
-        _BLEND_CACHE[key] = _make_blend_vjp(tile_h, tile_w, "pallas")
-    return _BLEND_CACHE[key](ent, meta)
+        _BLEND_CACHE[key] = _make_blend_vjp(tile_h, tile_w, forward,
+                                            backward)
+    return _BLEND_CACHE[key]
+
+
+def blend_pallas(ent, meta, tile_h: int, tile_w: int):
+    """Pallas forward + Pallas two-pass analytic backward."""
+    return _cached(tile_h, tile_w, "pallas", "pallas")(ent, meta)
 
 
 def blend_xla(ent, meta, tile_h: int, tile_w: int):
-    """XLA-scan forward + analytic backward."""
-    key = (tile_h, tile_w, "xla")
-    if key not in _BLEND_CACHE:
-        _BLEND_CACHE[key] = _make_blend_vjp(tile_h, tile_w, "xla")
-    return _BLEND_CACHE[key](ent, meta)
+    """XLA-scan forward + jnp analytic backward."""
+    return _cached(tile_h, tile_w, "xla", "jnp")(ent, meta)
 
 
 def blend_xla_early(ent, meta, tile_h: int, tile_w: int):
     """Early-terminating while-loop forward + early-terminating analytic
-    backward — the fast path for dense scenes."""
-    key = (tile_h, tile_w, "xla_early")
-    if key not in _BLEND_CACHE:
-        _BLEND_CACHE[key] = _make_blend_vjp(tile_h, tile_w, "xla_early")
-    return _BLEND_CACHE[key](ent, meta)
+    backward — the fast XLA path for dense scenes."""
+    return _cached(tile_h, tile_w, "xla_early", "jnp")(ent, meta)

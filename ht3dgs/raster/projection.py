@@ -142,7 +142,12 @@ def project(
     in_front = depths > NEAR_CULL
     ok = in_front & (det > 0.0) & live
     radii = jnp.where(ok, radius_f, 0.0).astype(jnp.int32)
-    valid = ok & (radii > 0)
+    # opacity cull is exact: alpha = op * exp(power) <= op, so op below the
+    # per-sample cutoff can never pass the blend's alpha test — excluding
+    # such Gaussians from binning changes nothing downstream. Only `valid`
+    # is gated (not `radii`): the reference counts them visible in the
+    # densification stats, and radii parity preserves that.
+    valid = ok & (radii > 0) & (opacities >= ALPHA_MIN)
 
     # --- SH -> RGB ----------------------------------------------------------
     campos = camera.camera_center if campos_override is None else campos_override

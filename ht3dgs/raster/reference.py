@@ -28,11 +28,11 @@ def _pixel_grid(height: int, width: int, dtype=jnp.float32):
 def blend_chunk(carry, chunk, px, py):
     """Composite one depth-ordered chunk of Gaussians over the full image.
 
-    carry: (T [H,W], rgb [H,W,3], depth [H,W])
+    carry: (T [H,W], rgb [H,W,3], depth [H,W], done [H,W] bool)
     chunk: (means2d [C,2], conics [C,3], colors [C,3], opac [C], depth [C],
             valid [C])
     """
-    T, rgb, dep = carry
+    T, rgb, dep, done = carry
     means2d, conics, colors, opac, g_depth, valid = chunk
 
     dx = px[None] - means2d[:, 0][:, None, None]          # [C, H, W]
@@ -50,13 +50,18 @@ def blend_chunk(carry, chunk, px, py):
     T_before = T[None] * jnp.concatenate(
         [jnp.ones_like(T_within[:1]), T_within[:-1]], axis=0)
     T_after = T[None] * T_within
-    kept = T_after >= T_EPS  # monotone: matches the sequential early-stop
+    # sticky termination (the CUDA `done` flag): once a pixel's
+    # transmittance would cross T_EPS it stops accumulating permanently —
+    # T_after is monotone within the chunk, so the last row detects the
+    # crossing and latches `done` for all later chunks
+    kept = (T_after >= T_EPS) & ~done[None]
     w = jnp.where(kept, alpha * T_before, 0.0)
 
     rgb = rgb + jnp.einsum("chw,cd->hwd", w, colors)
     dep = dep + jnp.einsum("chw,c->hw", w, g_depth)
     T = T * jnp.prod(jnp.where(kept, one_minus, 1.0), axis=0)
-    return (T, rgb, dep), None
+    done = done | (T_after[-1] < T_EPS)
+    return (T, rgb, dep, done), None
 
 
 def rasterize_oracle(
@@ -93,8 +98,9 @@ def rasterize_oracle(
         jnp.ones((height, width), dtype),
         jnp.zeros((height, width, 3), dtype),
         jnp.zeros((height, width), dtype),
+        jnp.zeros((height, width), bool),
     )
-    (T, rgb, dep), _ = jax.lax.scan(
+    (T, rgb, dep, _), _ = jax.lax.scan(
         lambda carry, ch: blend_chunk(carry, ch, px, py), init, chunks)
 
     image = rgb + T[..., None] * bg_color[None, None, :]

@@ -52,7 +52,12 @@ def eval_nvs(trainer, checkpoint: Optional[str] = None,
         pad = np.tile(init[-1][None], (seq_len - len(init), 1, 1))
         init = np.concatenate([init, pad], axis=0)
 
-    # per-frame pose tangents optimized against frozen Gaussians
+    # per-frame pose tangents optimized against frozen Gaussians.
+    # Deliberately plain Adam at a CONSTANT rotation_lr: the reference
+    # defines a camera LR scheduler (update_learning_rate_camera,
+    # /root/reference/scene/gaussian_model_ht.py:396-401) but never calls
+    # it, so its test-time pose optimization also runs at the fixed
+    # camera_rotation_lr — do not "fix" this by adding a schedule.
     bases = [np.asarray(se3.se3_from_matrix(jnp.asarray(p)))
              for p in init]
     deltas = [jnp.zeros(6, jnp.float32) for _ in range(seq_len)]

@@ -87,6 +87,9 @@ class HTGaussianTrainer(GaussianTrainer):
         self._mode = pipe_cfg.render_mode
         self._tile_args = None  # tuned per scene scale (see _maybe_retune)
         self._steps_since_tune = 0
+        from ..utils.profiling import PhaseTimer
+
+        self.timer = PhaseTimer()
 
     # ------------------------------------------------------------------ #
     # model construction
@@ -228,12 +231,16 @@ class HTGaussianTrainer(GaussianTrainer):
         gt = self.load_image(idx)
         bundle.fresh_adam()
         psnr = 0.0
+        stop_after = min(500, iterations // 2)
         for it in range(1, iterations + 1):
             m = self.host_train_step(bundle, cam, gt, it, densify=False,
                                      depth_gt=depth_gt)
-            psnr = float(m["psnr"])
-            if early_stop and psnr > 35.0 and it > min(500, iterations // 2):
-                break
+            # reading the metric syncs the device; poll the early-stop
+            # sparsely so steps stay enqueued ahead of the host
+            if it % 25 == 0 or it == iterations:
+                psnr = float(m["psnr"])
+                if early_stop and psnr > 35.0 and it > stop_after:
+                    break
             if it % 100 == 0:
                 self.logger.info(
                     f"[fit_single {idx}] it {it} psnr {psnr:.2f} "
@@ -245,29 +252,31 @@ class HTGaussianTrainer(GaussianTrainer):
         cam = self.camera_for(idx)
         gt = self.get_vfi(idx)
         bundle.fresh_adam()
+        stop_after = min(500, iterations // 2)
         for it in range(1, iterations + 1):
             m = self.host_train_step(bundle, cam, gt, it, densify=False)
-            if float(m["psnr"]) > 35.0 and it > min(500, iterations // 2):
+            if (it % 25 == 0 and float(m["psnr"]) > 35.0
+                    and it > stop_after):
                 break
 
     def fit_relative_pose(self, bundle: ModelBundle, gt_image,
                           camera, iterations: int = 300) -> np.ndarray:
         """train_relative_pose: optimize only an SE(3) tangent against
         frozen Gaussians (ht3dgs_trainer.py:307-333). Returns w2c 4x4."""
-        delta = jnp.zeros(6, jnp.float32)
-        popt = step_lib.init_pose_opt()
-        base = se3.se3_identity()
+        from . import phase_a as pa
+
+        # all `iterations` pose steps run in ONE jitted fori_loop (B=1 batch
+        # of the batched Phase A kernel) — no per-iteration host round-trip
+        states = pa.stack_states([bundle.state])
+        bases = jnp.asarray([[0, 0, 0, 0, 0, 0, 1]], jnp.float32)
+        cams = pa.stack_cameras([camera])
+        gts = jnp.asarray(gt_image)[None]
         lr = jnp.asarray(self.sched.rotation_lr, jnp.float32)
-        gt = jnp.asarray(gt_image)
-        for it in range(1, iterations + 1):
-            delta, popt, m = step_lib.pose_train_step(
-                bundle.state, delta, base, popt, camera, gt, lr,
-                mode=self._mode, tile_args=self._tile_args,
-                lambda_dssim=self.sched.lambda_dssim)
-            if it % 100 == 0:
-                self.logger.info(
-                    f"[rel_pose] it {it} psnr {float(m['psnr']):.2f}")
-        pose = se3.se3_retr(delta, base)
+        deltas = pa.batched_pose_fit(
+            states, bases, cams, gts, lr, mode=self._mode,
+            tile_args=self._tile_args,
+            lambda_dssim=self.sched.lambda_dssim, n_iters=iterations)
+        pose = se3.se3_exp(deltas[0])
         return np.asarray(se3.se3_to_matrix(pose), np.float32)
 
     def compute_relative_pose(self, view_idx: int, view_idx_prev: int):
@@ -746,10 +755,11 @@ class HTGaussianTrainer(GaussianTrainer):
             self.logger.info(f"loaded poses from {self.pipe_cfg.load_pose}")
 
         # Phase A — relative poses for every adjacent pair
-        if getattr(self.pipe_cfg, "phase_a_batch", 0) > 0:
-            self.compute_relative_poses_batched()
-        for fidx in range(1, self.seq_len):
-            self.compute_relative_pose(fidx, fidx - 1)
+        with self.timer.phase("phase_a"):
+            if getattr(self.pipe_cfg, "phase_a_batch", 0) > 0:
+                self.compute_relative_poses_batched()
+            for fidx in range(1, self.seq_len):
+                self.compute_relative_pose(fidx, fidx - 1)
 
         # Phase B — partition
         lists = self.partition(self.seq_len, self.train_level)
@@ -760,23 +770,45 @@ class HTGaussianTrainer(GaussianTrainer):
         bundles: Dict[int, List[Optional[ModelBundle]]] = {
             lv: [None] * len(lists[lv]) for lv in lists}
 
+        # multi-chip: train leaf segments concurrently over the (segment,
+        # tile) mesh in chunks of mesh_segments (leftovers run sequentially)
+        S = max(1, self.pipe_cfg.mesh_segments)
+        n_tiles = max(1, self.pipe_cfg.mesh_tiles)
+        leaf_lists = lists[self.train_level]
+        if (S > 1 or n_tiles > 1) and len(jax.devices()) >= S * n_tiles:
+            from . import parallel_leaves as pl
+
+            for i0 in range(0, len(leaf_lists) - (len(leaf_lists) % S), S):
+                chunk = leaf_lists[i0:i0 + S]
+                with self.timer.phase("leaf_parallel"):
+                    trained = pl.train_leaf_segments_parallel(self, chunk)
+                for k, b in enumerate(trained):
+                    bundles[self.train_level][i0 + k] = b
+
         for level in range(self.train_level, -1, -1):
             seg_lists = lists[level]
             for seg_idx, frames in enumerate(seg_lists):
                 self.logger.info(f"level {level} seg {seg_idx}: {frames}")
                 if level == self.train_level:
-                    bundle = self._train_leaf_segment(frames)
-                    bundles[level][seg_idx] = bundle
+                    bundle = bundles[level][seg_idx]  # parallel-pre-trained
+                    if bundle is None:
+                        with self.timer.phase("leaf"):
+                            bundle = self._train_leaf_segment(frames)
+                        bundles[level][seg_idx] = bundle
+                    else:
+                        self.global_iteration = bundle.global_iteration
                 else:
                     bundle = bundles[level][seg_idx]  # restored from child
                     if use_base:
                         children = bundles[level + 1][seg_idx * 2:
                                                       seg_idx * 2 + 2]
                         self.global_iteration = bundle.global_iteration
-                        self.train_nonleaf_phase1(bundle, children)
+                        with self.timer.phase("nonleaf_phase1"):
+                            self.train_nonleaf_phase1(bundle, children)
                     n_it = self.sched.num_iterations_per_frame_each_level[
                         level] * len(frames)
-                    self.train_nonleaf_phase2(bundle, frames, n_it)
+                    with self.timer.phase("nonleaf_phase2"):
+                        self.train_nonleaf_phase2(bundle, frames, n_it)
                 bundle.global_iteration = self.global_iteration
 
                 if (seg_idx + 1) % 2 == 0:
@@ -789,8 +821,9 @@ class HTGaussianTrainer(GaussianTrainer):
                         start_fidx=prev.start_fidx,
                         to_visit_frames=list(prev.to_visit_frames))
                     pose_between = dst.get_RT(bundle.start_fidx)
-                    self.merge_two(dst, bundle,
-                                   np.linalg.inv(pose_between))
+                    with self.timer.phase("merge"):
+                        self.merge_two(dst, bundle,
+                                       np.linalg.inv(pose_between))
                     # chain poses for the newly covered frames
                     for pf in frames:
                         if pf in seg_lists[seg_idx - 1]:
@@ -803,8 +836,11 @@ class HTGaussianTrainer(GaussianTrainer):
                     bundles[level - 1][(seg_idx - 1) // 2] = dst
 
         self.gs_bundle = bundles[0][0]
-        self.evaluate_on_training_images()
+        with self.timer.phase("eval"):
+            self.evaluate_on_training_images()
         self.save_checkpoint()
+        self.logger.info(f"phase timing: {self.timer.summary()}")
+        self.timer.dump(os.path.join(self.result_path, "phase_timing.json"))
         return self.gs_bundle
 
     def _train_leaf_segment(self, frames: List[int]) -> ModelBundle:

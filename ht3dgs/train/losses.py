@@ -65,6 +65,94 @@ def l1_loss(pred, gt):
 
 
 # ---------------------------------------------------------------------------
+# sharded (row-block) variants — exact under shard_map over a named axis
+# ---------------------------------------------------------------------------
+
+def _exchange_row_halos(x: jax.Array, axis_name: str, halo: int) -> jax.Array:
+    """[bh, W, C] local row-block -> [bh + 2*halo, W, C] with the neighbor
+    shards' boundary rows attached. Blocks are assumed laid out in axis-index
+    order along the image height. Missing neighbors (global image top/bottom)
+    contribute zeros — exactly the single-device conv's zero padding."""
+    n = jax.lax.axis_size(axis_name)
+    # my bottom rows -> next shard's top halo (ppermute zero-fills the edges)
+    top = jax.lax.ppermute(x[-halo:], axis_name,
+                           [(i, i + 1) for i in range(n - 1)])
+    bot = jax.lax.ppermute(x[:halo], axis_name,
+                           [(i + 1, i) for i in range(n - 1)])
+    return jnp.concatenate([top, x, bot], axis=0)
+
+
+def ssim_sharded(img1: jax.Array, img2: jax.Array, axis_name: str,
+                 window_size: int = 11) -> jax.Array:
+    """Exact mean SSIM when the image rows are sharded over `axis_name`.
+
+    A 5-row halo exchange (lax.ppermute over ICI) reproduces the full-image
+    11x11 window at shard boundaries; the halo'd SSIM map is cropped back to
+    the local block and pmean'ed, so the result (and its gradient) matches
+    the single-device `ssim` bitwise up to reduction order."""
+    halo = window_size // 2
+    e1 = _exchange_row_halos(img1, axis_name, halo)
+    e2 = _exchange_row_halos(img2, axis_name, halo)
+    w = _gaussian_window(window_size)
+    mu1 = _depthwise_blur(e1, w)
+    mu2 = _depthwise_blur(e2, w)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _depthwise_blur(e1 * e1, w) - mu1_sq
+    sigma2_sq = _depthwise_blur(e2 * e2, w) - mu2_sq
+    sigma12 = _depthwise_blur(e1 * e2, w) - mu1_mu2
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2))
+    local = jnp.mean(ssim_map[halo:-halo])
+    return jax.lax.pmean(local, axis_name)
+
+
+def scale_shift_invariant_depth_loss_sharded(
+        depth_pred, depth_gt, axis_name: str, mask=None,
+        alpha: float = 0.5) -> jax.Array:
+    """Row-block-sharded twin of `scale_shift_invariant_depth_loss`: the
+    scale/shift normal equations and all sums are psum'ed over the axis, and
+    the vertical gradient-matching term exchanges a 1-row halo so boundary
+    row pairs are counted exactly once (by the shard that owns the upper
+    row of the pair)."""
+    if mask is None:
+        mask = (depth_gt > 0.02).astype(depth_pred.dtype)
+
+    def gsum(x):
+        return jax.lax.psum(jnp.sum(x), axis_name)
+
+    a00 = gsum(mask * depth_pred * depth_pred)
+    a01 = gsum(mask * depth_pred)
+    a11 = gsum(mask)
+    b0 = gsum(mask * depth_pred * depth_gt)
+    b1 = gsum(mask * depth_gt)
+    det = a00 * a11 - a01 * a01
+    ok = det != 0.0
+    det_safe = jnp.where(ok, det, 1.0)
+    s = jnp.where(ok, (a11 * b0 - a01 * b1) / det_safe, 0.0)
+    t = jnp.where(ok, (-a01 * b0 + a00 * b1) / det_safe, 0.0)
+
+    res = s * depth_pred + t - depth_gt
+    denom = jnp.maximum(a11, 1.0)
+    data_term = gsum(mask * res * res) / (2.0 * denom)
+
+    diff = mask * res
+    gx = jnp.abs(diff[:, 1:] - diff[:, :-1]) * (mask[:, 1:] * mask[:, :-1])
+    # vertical pairs crossing the boundary: fetch the next shard's first row
+    n = jax.lax.axis_size(axis_name)
+    nxt_d = jax.lax.ppermute(diff[:1], axis_name,
+                             [(i + 1, i) for i in range(n - 1)])
+    nxt_m = jax.lax.ppermute(mask[:1], axis_name,
+                             [(i + 1, i) for i in range(n - 1)])
+    is_last = jax.lax.axis_index(axis_name) == n - 1
+    dext = jnp.concatenate([diff, nxt_d], axis=0)
+    mext = jnp.concatenate([mask, jnp.where(is_last, 0.0, nxt_m)], axis=0)
+    gy = jnp.abs(dext[1:] - dext[:-1]) * (mext[1:] * mext[:-1])
+    grad_term = (gsum(gx) + gsum(gy)) / denom
+    return data_term + alpha * grad_term
+
+
+# ---------------------------------------------------------------------------
 # MiDaS scale/shift-invariant depth loss (+ gradient matching), parity with
 # ScaleAndShiftInvariantLoss(alpha=0.5, scales=1)
 # (/root/reference/trainer/losses.py:259-398)

@@ -71,8 +71,11 @@ class PipelineConfig:
     vfi_checkpoint: Optional[str] = None
     mesh_segments: int = 1             # data-parallel segment axis size
     mesh_tiles: int = 1                # tile-sharding axis size
+    capacity_presize: float = 4.0      # parallel leaves: init-pcd capacity
+    #                                    headroom (avoids mid-run recompiles)
+    trace_dir: Optional[str] = None    # jax.profiler trace capture dir
     init_max_points: int = 0           # cap per-frame init pcd size (0 = off)
-    phase_a_batch: int = 0             # >0: vmap-batch relative-pose pairs
+    phase_a_batch: int = 8             # >0: vmap-batch relative-pose pairs
 
 
 @dataclass
@@ -201,10 +204,14 @@ def _coerce(key: str, value):
     for cls in (ModelConfig, PipelineConfig, OptimizationConfig):
         for f in dataclasses.fields(cls):
             if f.name == key and isinstance(value, str):
-                if f.type in (int, "int"):
-                    return int(value)
-                if f.type in (float, "float") or isinstance(f.default, float):
+                # `from __future__ import annotations` makes f.type a
+                # string; match Optional[...] variants too (e.g. FovX)
+                t = str(f.type)
+                if t.startswith("List"):
+                    return value
+                if "float" in t or isinstance(f.default, float):
                     return float(value)
-                if isinstance(f.default, int) and not isinstance(f.default, bool):
+                if "int" in t or (isinstance(f.default, int)
+                                  and not isinstance(f.default, bool)):
                     return int(value)
     return value

@@ -27,19 +27,22 @@ def main(argv=None):
     model, pipe, optim, args = configs_from_cli(argv)
     start = time.time()
 
+    from ht3dgs.utils.profiling import jax_trace
+
     trainer = HTGaussianTrainer(model.source_path, model, pipe, optim)
-    if args.mode == "train":
-        trainer.hierarchical_training()
-    elif args.mode == "pose_only":
-        trainer.train_pose_only()
-    elif args.mode == "eval_pose":
-        trainer.eval_pose()
-    elif args.mode == "eval_nvs":
-        trainer.eval_nvs()
-    elif args.mode == "render":
-        trainer.render_nvs(traj_opt=model.traj_opt)
-    else:
-        raise SystemExit(f"unknown mode {args.mode}")
+    with jax_trace(pipe.trace_dir):
+        if args.mode == "train":
+            trainer.hierarchical_training()
+        elif args.mode == "pose_only":
+            trainer.train_pose_only()
+        elif args.mode == "eval_pose":
+            trainer.eval_pose()
+        elif args.mode == "eval_nvs":
+            trainer.eval_nvs()
+        elif args.mode == "render":
+            trainer.render_nvs(traj_opt=model.traj_opt)
+        else:
+            raise SystemExit(f"unknown mode {args.mode}")
 
     dt = time.time() - start
     print(f"[{args.mode}] finished in {dt / 60:.1f} min")

@@ -123,3 +123,49 @@ def test_interpolate_end_to_end_shapes():
     assert out.shape == (37, 45, 3)
     assert np.all(np.isfinite(out))
     assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_param_spec_matches_network_consumption():
+    """ifrnet.param_spec() must name exactly the weights interpolate_fn
+    reads (same keys/shapes the public IFRNet_Vimeo90K.pth provides)."""
+    rng = np.random.default_rng(5)
+    spec = ifrnet.param_spec()
+    test_keys = set(_random_params(rng).keys())
+    assert set(spec.keys()) == test_keys
+    for k, v in _random_params(rng).items():
+        assert tuple(v.shape) == spec[k], k
+
+
+def test_checkpoint_conversion_roundtrip(tmp_path):
+    """torch.save -> build(): the full conversion path (module.-prefix strip,
+    dtype cast, key/shape validation) produces a working network; an extra
+    optimizer buffer is ignored, a missing weight raises."""
+    rng = np.random.default_rng(6)
+    raw = ifrnet.random_params(seed=6)
+    sd = {f"module.{k}": torch.from_numpy(v.copy()).double()
+          for k, v in raw.items()}
+    sd["module.optimizer_junk"] = torch.zeros(3)
+    path = str(tmp_path / "ckpt.pth")
+    torch.save(sd, path)
+
+    _, params = ifrnet.build(path)
+    assert set(params.keys()) == set(ifrnet.param_spec().keys())
+    img0 = rng.random((32, 48, 3)).astype(np.float32)
+    img1 = rng.random((32, 48, 3)).astype(np.float32)
+    out_ckpt = ifrnet.interpolate(None, params, img0, img1)
+    out_direct = ifrnet.interpolate(
+        None, {k: jnp.asarray(v) for k, v in raw.items()}, img0, img1)
+    np.testing.assert_allclose(out_ckpt, out_direct, atol=1e-6)
+
+    # npz flavor
+    npz = str(tmp_path / "ckpt.npz")
+    np.savez(npz, **raw)
+    _, params2 = ifrnet.build(npz)
+    out_npz = ifrnet.interpolate(None, params2, img0, img1)
+    np.testing.assert_allclose(out_npz, out_direct, atol=1e-6)
+
+    # missing weight -> hard error
+    bad = dict(raw)
+    bad.pop("decoder1.convblock.2.weight")
+    with pytest.raises(ValueError, match="missing"):
+        ifrnet.validate_params(bad)

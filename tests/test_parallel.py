@@ -11,6 +11,8 @@ import pytest
 from ht3dgs.core import adam as adam_lib
 from ht3dgs.core import gaussians as G
 from ht3dgs.core.camera import intrinsics_from_fov, make_camera
+from jax.sharding import PartitionSpec as P
+
 from ht3dgs.parallel import mesh as mesh_lib
 from ht3dgs.raster import render
 from ht3dgs.train.losses import l1_loss
@@ -64,6 +66,133 @@ def test_sharded_step_runs_and_learns():
     # both segments improve
     assert losses[-1, 0] < losses[0, 0] * 0.7
     assert losses[-1, 1] < losses[0, 1] * 0.7
+
+
+def test_hierarchy_step_matches_gaussian_train_step():
+    """The full-featured sharded step (1 segment x 4 tile shards, SSIM on)
+    must reproduce train.step.gaussian_train_step exactly — the halo'd
+    sharded SSIM makes boundary gradients exact, so tolerance is tight."""
+    from ht3dgs.train import step as step_lib
+
+    H, W = 32, 32
+    mesh = mesh_lib.make_mesh(1, 4)
+    cam = make_camera(H, W, intrinsics_from_fov(1.2, H, W))
+    state = make_segment(0)
+    opt = adam_lib.init(state.params())
+    gt = jnp.asarray(np.asarray(
+        render(make_segment(99), cam, mode="oracle")["image"]))
+    lrs = {k: jnp.asarray(1e-2) for k in state.params()}
+    targs = dict(tile_h=8, tile_w=16, max_per_tile=128)
+
+    s_ref, o_ref, m_ref = step_lib.gaussian_train_step(
+        state, opt, cam, gt, lrs, mode="tiled", apply_adam="all",
+        track_stats=True, lambda_dssim=0.2,
+        tile_args=tuple(sorted(targs.items())))
+
+    hstep = mesh_lib.build_hierarchy_step(
+        mesh, H, W, mode="tiled", tile_args=targs, lambda_dssim=0.2)
+    sb, ob, mb = hstep(
+        mesh_lib.batch_segments([state]), mesh_lib.batch_segments([opt]),
+        mesh_lib.batch_segments([cam]), gt[None],
+        {k: jnp.full((1,), 1e-2) for k in state.params()})
+
+    for k in s_ref.params():
+        np.testing.assert_allclose(
+            np.asarray(sb.params()[k][0]), np.asarray(s_ref.params()[k]),
+            atol=1e-6, err_msg=k)
+    # densification stats must match too (probe grads psum'ed over tiles)
+    np.testing.assert_allclose(np.asarray(sb.grad_accum[0]),
+                               np.asarray(s_ref.grad_accum), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sb.max_radii2d[0]),
+                               np.asarray(s_ref.max_radii2d), atol=1e-6)
+    np.testing.assert_allclose(float(mb["psnr"][0]), float(m_ref["psnr"]),
+                               atol=1e-3)
+
+
+def test_hierarchy_step_apply_modes_and_active():
+    """APPLY_SKIP keeps params+opt; active=False freezes a segment."""
+    H, W = 32, 32
+    mesh = mesh_lib.make_mesh(2, 4)
+    cam = make_camera(H, W, intrinsics_from_fov(1.2, H, W))
+    states = mesh_lib.batch_segments([make_segment(0), make_segment(1)])
+    opts = mesh_lib.batch_segments(
+        [adam_lib.init(make_segment(i).params()) for i in range(2)])
+    cams = mesh_lib.batch_segments([cam, cam])
+    gts = jnp.zeros((2, H, W, 3), jnp.float32)
+    lrs = {k: jnp.full((2,), 1e-2) for k in states.params()}
+    hstep = mesh_lib.build_hierarchy_step(
+        mesh, H, W, mode="tiled",
+        tile_args=dict(tile_h=8, tile_w=16, max_per_tile=128))
+
+    sb, ob, _ = hstep(states, opts, cams, gts, lrs,
+                      apply_code=mesh_lib.APPLY_SKIP, track_stats=True)
+    for k in states.params():
+        np.testing.assert_array_equal(np.asarray(sb.params()[k]),
+                                      np.asarray(states.params()[k]))
+    assert np.all(np.asarray(ob.step) == 0)
+    # stats were still tracked
+    assert np.any(np.asarray(sb.grad_denom) > 0)
+
+    sb2, ob2, _ = hstep(states, opts, cams, gts, lrs,
+                        apply_code=mesh_lib.APPLY_ALL, track_stats=False,
+                        active=jnp.asarray([True, False]))
+    assert not np.allclose(np.asarray(sb2.means[0]),
+                           np.asarray(states.means[0]))
+    np.testing.assert_array_equal(np.asarray(sb2.means[1]),
+                                  np.asarray(states.means[1]))
+    assert int(ob2.step[0]) == 1 and int(ob2.step[1]) == 0
+
+
+def test_ssim_sharded_exact():
+    """ssim_sharded over 4 row shards == single-device ssim (value + grad)."""
+    from jax import shard_map
+    from ht3dgs.train.losses import ssim, ssim_sharded
+
+    H, W = 32, 16
+    mesh = mesh_lib.make_mesh(1, 4)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.random((H, W, 3), np.float32))
+    b = jnp.asarray(rng.random((H, W, 3), np.float32))
+
+    def sharded(a, b):
+        fn = shard_map(
+            lambda x, y: ssim_sharded(x, y, "tile"), mesh=mesh,
+            in_specs=(P("tile"), P("tile")), out_specs=P(),
+            check_vma=False)
+        return fn(a, b)
+
+    v_ref, g_ref = jax.value_and_grad(ssim)(a, b)
+    v_sh, g_sh = jax.value_and_grad(sharded)(a, b)
+    np.testing.assert_allclose(float(v_sh), float(v_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               atol=1e-6)
+
+
+def test_depth_loss_sharded_exact():
+    from jax import shard_map
+    from ht3dgs.train.losses import (scale_shift_invariant_depth_loss,
+                                     scale_shift_invariant_depth_loss_sharded)
+
+    H, W = 32, 16
+    mesh = mesh_lib.make_mesh(1, 4)
+    rng = np.random.default_rng(1)
+    pred = jnp.asarray(rng.random((H, W), np.float32) * 3.0)
+    gt = jnp.asarray(rng.random((H, W), np.float32) * 3.0)
+
+    def sharded(p, g):
+        fn = shard_map(
+            lambda x, y: scale_shift_invariant_depth_loss_sharded(
+                x, y, "tile"), mesh=mesh,
+            in_specs=(P("tile"), P("tile")), out_specs=P(),
+            check_vma=False)
+        return fn(p, g)
+
+    v_ref, g_ref = jax.value_and_grad(scale_shift_invariant_depth_loss)(
+        pred, gt)
+    v_sh, g_sh = jax.value_and_grad(sharded)(pred, gt)
+    np.testing.assert_allclose(float(v_sh), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               atol=1e-5)
 
 
 def test_sharded_matches_single_device_grads():
