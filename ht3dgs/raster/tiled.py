@@ -71,17 +71,37 @@ def build_tile_lists(
     """Binning stages 1-5: packed per-tile entry blocks + meta.
 
     Returns (ent [T,K,16], meta [T,4] int32, total, n_dropped)."""
-    N = proj.means2d.shape[0]
+    return build_tile_lists_from_rows(
+        _pack_attr_rows(proj), proj.valid, proj.depths, height, width,
+        tile_h=tile_h, tile_w=tile_w, max_per_tile=max_per_tile,
+        dup_factor=dup_factor)
+
+
+def build_tile_lists_from_rows(
+    attrs: jax.Array,        # [N, 16] packed rows (_pack_attr_rows layout)
+    valid: jax.Array,        # [N] bool
+    depths: jax.Array,       # [N]; +inf for invalid rows (sort key)
+    height: int,
+    width: int,
+    tile_h: int = 16,
+    tile_w: int = 16,
+    max_per_tile: int = 1024,
+    dup_factor: int = 16,
+):
+    """Row-table flavor of the binning front-end: consumes pre-packed
+    attribute rows (e.g. the all-gathered frustum survivors of a
+    range-partitioned Gaussian set — parallel.gauss_shard) instead of a
+    Projected. Semantically identical to `build_tile_lists`."""
+    N = attrs.shape[0]
     ntx = _cdiv(width, tile_w)
     nty = _cdiv(height, tile_h)
     T = ntx * nty
     M = N * dup_factor
 
-    # ---- 1-2. pack rows, depth order --------------------------------------
-    attrs = _pack_attr_rows(proj)
-    order = jnp.argsort(proj.depths)  # invalid have depth=+inf -> last
+    # ---- 1-2. depth order --------------------------------------------------
+    order = jnp.argsort(depths)  # invalid have depth=+inf -> last
     attrs = jnp.take(attrs, order, axis=0)       # single row gather
-    valid = jnp.take(proj.valid, order, axis=0)
+    valid = jnp.take(valid, order, axis=0)
 
     # ---- 3. tile spans (CUDA getRect semantics) + O(M) expansion ----------
     mx = attrs[:, 0]
@@ -188,6 +208,40 @@ def rasterize_tiled(
         rgb_t, T_t, dep_t = _jnp_blend_from_ent(
             ent, meta, tile_h=tile_h, tile_w=tile_w, chunk=chunk)
 
+    return _assemble(rgb_t, T_t, dep_t, height, width, ntx, nty, tile_h,
+                     tile_w, bg_color, total, n_dropped)
+
+
+def rasterize_from_rows(
+    attrs: jax.Array,
+    valid: jax.Array,
+    depths: jax.Array,
+    height: int,
+    width: int,
+    bg_color: jax.Array,
+    tile_h: int = 16,
+    tile_w: int = 16,
+    max_per_tile: int = 1024,
+    dup_factor: int = 16,
+    chunk: int = 32,
+    backend: str = "pallas",
+) -> Dict[str, jax.Array]:
+    """rasterize_tiled over a pre-packed row table (gauss_shard path)."""
+    ntx = _cdiv(width, tile_w)
+    nty = _cdiv(height, tile_h)
+    ent, meta, total, n_dropped = build_tile_lists_from_rows(
+        attrs, valid, depths, height, width, tile_h, tile_w, max_per_tile,
+        dup_factor)
+    if backend == "pallas":
+        ent16 = jnp.pad(ent, ((0, 0), (0, 0), (0, ATTRS - ent.shape[-1])))
+        rgb_t, T_t, dep_t = blend_pallas(ent16, meta, tile_h, tile_w)
+    elif backend == "xla_early":
+        from .pallas_blend import blend_xla_early
+
+        rgb_t, T_t, dep_t = blend_xla_early(ent, meta, tile_h, tile_w)
+    else:
+        rgb_t, T_t, dep_t = _jnp_blend_from_ent(
+            ent, meta, tile_h=tile_h, tile_w=tile_w, chunk=chunk)
     return _assemble(rgb_t, T_t, dep_t, height, width, ntx, nty, tile_h,
                      tile_w, bg_color, total, n_dropped)
 

@@ -229,3 +229,68 @@ def test_sharded_matches_single_device_grads():
         np.testing.assert_allclose(
             np.asarray(jax.tree.map(lambda x: x[0], sb.params()[k])),
             np.asarray(p_ref[k]), atol=1e-5, err_msg=k)
+
+
+def test_gauss_sharded_step_matches_single_device():
+    """Range-partitioned Gaussians (4 row shards) must reproduce the
+    single-device gaussian_train_step: params, Adam moments and
+    densification stats all match after one step."""
+    from ht3dgs.parallel import gauss_shard as gs
+    from ht3dgs.train import step as step_lib
+
+    H, W = 32, 32
+    mesh = mesh_lib.make_mesh(1, 4)
+    cam = make_camera(H, W, intrinsics_from_fov(1.2, H, W))
+    state = make_segment(0, n=96, cap=128)
+    opt = adam_lib.init(state.params())
+    gt = jnp.asarray(np.asarray(
+        render(make_segment(99), cam, mode="oracle")["image"]))
+    lrs = {k: jnp.asarray(1e-2) for k in state.params()}
+    targs = dict(tile_h=8, tile_w=16, max_per_tile=256, dup_factor=32,
+                 backend="xla")
+
+    s_ref, o_ref, m_ref = step_lib.gaussian_train_step(
+        state, opt, cam, gt, lrs, mode="tiled", apply_adam="all",
+        track_stats=True, lambda_dssim=0.2,
+        tile_args=tuple(sorted(targs.items())))
+
+    step = gs.build_gauss_sharded_step(mesh, H, W, cull_cap=32,
+                                       tile_args=targs, lambda_dssim=0.2)
+    sh, oh = gs.shard_state(state, 4), gs.shard_opt(opt, 4)
+    sh, oh, m = step(sh, oh, cam, gt, lrs)
+    su, ou = gs.unshard_state(sh), gs.unshard_opt(oh)
+
+    assert int(m["n_culled_dropped"]) == 0
+    np.testing.assert_allclose(float(m["psnr"]), float(m_ref["psnr"]),
+                               atol=1e-3)
+    for k in s_ref.params():
+        np.testing.assert_allclose(
+            np.asarray(su.params()[k]), np.asarray(s_ref.params()[k]),
+            atol=1e-5, err_msg=k)
+        np.testing.assert_allclose(
+            np.asarray(ou.m[k]), np.asarray(o_ref.m[k]), atol=1e-5,
+            err_msg=k)
+    np.testing.assert_allclose(np.asarray(su.grad_accum),
+                               np.asarray(s_ref.grad_accum), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(su.max_radii2d),
+                               np.asarray(s_ref.max_radii2d), atol=1e-4)
+
+
+def test_gauss_sharded_densify_runs():
+    from ht3dgs.parallel import gauss_shard as gs
+
+    mesh = mesh_lib.make_mesh(1, 4)
+    state = make_segment(0, n=96, cap=128)
+    opt = adam_lib.init(state.params())
+    # make some rows hot so clone/split trigger
+    state = dataclasses.replace(
+        state,
+        grad_accum=jnp.full((128,), 1.0),
+        grad_denom=jnp.ones((128,)))
+    dens = gs.build_sharded_densify(mesh)
+    sh, oh = gs.shard_state(state, 4), gs.shard_opt(opt, 4)
+    sh, oh, dropped = dens(sh, oh, jax.random.PRNGKey(0),
+                           0.0002, 0.005, 3.0, 0.01, 20.0, False)
+    su = gs.unshard_state(sh)
+    assert int(su.n_live()) >= int(state.n_live())
+    assert np.all(np.isfinite(np.asarray(su.means)))
