@@ -51,12 +51,68 @@ from ..train.losses import (l1_loss, psnr, ssim_sharded,
                             scale_shift_invariant_depth_loss_sharded)
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: initialize the JAX distributed runtime so
+    `jax.devices()` spans every host of the pod slice.
+
+    On TPU pods the three arguments are auto-discovered from the TPU
+    metadata (plain `jax.distributed.initialize()`); for manual clusters
+    (e.g. CPU multi-process tests) pass coordinator "host:port",
+    num_processes and process_id explicitly. Idempotent: safe to call when
+    the runtime is already up or when running single-process (the common
+    single-host case is a no-op). Returns the global device count.
+
+    The reference has no counterpart — it is single-GPU by construction
+    (SURVEY.md §2.3); this is the pod-scale entry point that
+    `run.py --distributed` calls before building the (segment, tile) mesh.
+    """
+    state = getattr(jax._src.distributed, "global_state", None)
+    already = getattr(state, "client", None) if state is not None else None
+    if already is None and (coordinator is not None
+                            or num_processes is not None
+                            or jax.process_count() == 1):
+        try:
+            if coordinator is None and num_processes is None:
+                jax.distributed.initialize()     # TPU-pod auto-discovery
+            else:
+                jax.distributed.initialize(
+                    coordinator_address=coordinator,
+                    num_processes=num_processes, process_id=process_id)
+        except (RuntimeError, ValueError):
+            # single-process (no coordinator discoverable) — run local-only
+            pass
+    return len(jax.devices())
+
+
 def make_mesh(n_segments: int, n_tiles: int, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     assert len(devices) >= n_segments * n_tiles, (
         f"need {n_segments * n_tiles} devices, have {len(devices)}")
     dev = np.asarray(devices[: n_segments * n_tiles]).reshape(
         n_segments, n_tiles)
+    return Mesh(dev, axis_names=("segment", "tile"))
+
+
+def make_pod_mesh(n_tiles_per_segment: Optional[int] = None,
+                  devices=None) -> Mesh:
+    """Pod-topology (segment, tile) mesh: the tile axis (per-step pmean +
+    halo exchange every iteration) stays inside a host's ICI domain; the
+    segment axis (no per-step collectives — leaves are data-independent
+    until merge) crosses hosts over DCN.
+
+    Default: tile = all local devices of one process, segment = processes.
+    With `n_tiles_per_segment` set, a process's devices are further split
+    into multiple segments (n_local must divide evenly)."""
+    devices = devices if devices is not None else jax.devices()
+    n_local = max(1, len(devices) // max(1, jax.process_count()))
+    tiles = n_tiles_per_segment or n_local
+    n_seg = len(devices) // tiles
+    # jax.devices() orders by (process, local id): reshaping (seg, tile)
+    # keeps each tile group within one process's contiguous block whenever
+    # tiles <= n_local, which is what pins the per-step collective to ICI
+    dev = np.asarray(devices[: n_seg * tiles]).reshape(n_seg, tiles)
     return Mesh(dev, axis_names=("segment", "tile"))
 
 

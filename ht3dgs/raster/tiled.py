@@ -34,6 +34,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .pallas_blend import (ATTRS, _jnp_blend_from_ent, blend_pallas,
                            blend_xla)
@@ -42,6 +43,38 @@ from .projection import Projected
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+def _seg_ffill(key: jax.Array, pb: int) -> jax.Array:
+    """Inclusive segmented forward-fill of sparse payloads, gather-free.
+
+    key [L] int32: 0 at empty positions, else a NONZERO payload in the low
+    `pb` bits at set positions. Returns, per position, the payload of the
+    latest set position <= it (0 before the first).
+
+    Built from blocked `lax.cummax` only: within a block of B = 2^(30-pb)
+    positions the (local_index+1 << pb | payload) key is monotone in
+    position, so one axis-1 cummax forward-fills it; block carries recurse
+    on the per-block summaries. All ops are dense reshapes/cummax — unlike
+    `lax.associative_scan`, whose strided-slice recursion is both slow to
+    compile (minutes on the remote TPU service at L=16M) and strided-access
+    hostile to the VPU."""
+    L = key.shape[0]
+    mask = (1 << pb) - 1
+    B = 1 << (30 - pb)
+    if L <= B:
+        pos = jnp.arange(L, dtype=jnp.int32) + 1
+        k = jnp.where(key != 0, (pos << pb) | (key & mask), 0)
+        return jax.lax.cummax(k) & mask
+    nb = _cdiv(L, B)
+    kp = jnp.pad(key, (0, nb * B - L)).reshape(nb, B)
+    local = (jnp.arange(B, dtype=jnp.int32) + 1)[None, :]
+    c1 = jax.lax.cummax(
+        jnp.where(kp != 0, (local << pb) | (kp & mask), 0), axis=1)
+    carry = _seg_ffill(c1[:, -1] & mask, pb)
+    carry = jnp.concatenate([jnp.zeros((1,), jnp.int32), carry[:-1]])
+    out = jnp.where(c1 != 0, c1 & mask, carry[:, None])
+    return out.reshape(nb * B)[:L]
 
 
 def _pack_attr_rows(proj: Projected) -> jax.Array:
@@ -91,7 +124,29 @@ def build_tile_lists_from_rows(
     """Row-table flavor of the binning front-end: consumes pre-packed
     attribute rows (e.g. the all-gathered frustum survivors of a
     range-partitioned Gaussian set — parallel.gauss_shard) instead of a
-    Projected. Semantically identical to `build_tile_lists`."""
+    Projected. Semantically identical to `build_tile_lists`.
+
+    Differentiable w.r.t. `attrs` through a custom VJP: the cotangent of the
+    two row gathers (depth sort + per-tile entry expansion) is a
+    segment-sum, which XLA would execute as a serial scatter-add (~680 ms at
+    1M Gaussians / 1080p on v5e). The custom backward instead routes each
+    entry gradient to its expansion slot with a precomputed inverse
+    permutation (one gather), segment-sums per Gaussian with a cumsum +
+    boundary-difference (segments are contiguous in expansion order), and
+    un-sorts — ~6x faster, identical up to f32 cumsum rounding."""
+    key = (height, width, tile_h, tile_w, max_per_tile, dup_factor)
+    if key not in _BINNING_CACHE:
+        _BINNING_CACHE[key] = _make_binning_vjp(*key)
+    return _BINNING_CACHE[key](attrs, valid, depths)
+
+
+_BINNING_CACHE = {}
+
+
+def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
+                  max_per_tile, dup_factor, want_res: bool):
+    """Binning stages 1-5. With want_res=True additionally returns the int
+    residuals consumed by the custom backward."""
     N = attrs.shape[0]
     ntx = _cdiv(width, tile_w)
     nty = _cdiv(height, tile_h)
@@ -99,7 +154,7 @@ def build_tile_lists_from_rows(
     M = N * dup_factor
 
     # ---- 1-2. depth order --------------------------------------------------
-    order = jnp.argsort(depths)  # invalid have depth=+inf -> last
+    order = jnp.argsort(depths).astype(jnp.int32)  # invalid (+inf) -> last
     attrs = jnp.take(attrs, order, axis=0)       # single row gather
     valid = jnp.take(valid, order, axis=0)
 
@@ -122,54 +177,152 @@ def build_tile_lists_from_rows(
     # slot -> source gaussian: scatter each segment start into its slot and
     # forward-fill with a cumulative max (gather-free, O(M))
     has = (span > 0) & (offs < M)
-    seg_mark = jnp.zeros((M,), jnp.int32).at[
-        jnp.where(has, offs, M - 1)
-    ].max(jnp.where(has, jnp.arange(N, dtype=jnp.int32) + 1, 0))
+    tgt = jnp.where(has, offs, M - 1)
+    seg_mark = jnp.zeros((M,), jnp.int32).at[tgt].max(
+        jnp.where(has, jnp.arange(N, dtype=jnp.int32) + 1, 0))
     src = jnp.clip(jax.lax.cummax(seg_mark) - 1, 0, N - 1)
 
-    # per-entry tile coordinates (4 small row-gathers fused into one).
+    # per-entry tile geometry, gather-free: forward-fill (x0, y0, span_x)
+    # bit-packed into one payload (each < 2^bits; 3*bits <= 27 holds to ~8K
+    # resolutions) from each segment start via the blocked-cummax fill, and
+    # the segment-start slot via one plain cummax (offs is monotone). The
+    # previous formulation gathered a [N,4] geo table at every slot — TPU
+    # gathers cost ~7.5 ns *per index*, 108 ms at the 1M/1080p bench
+    # workload; the fills are ~4x cheaper.
+    bits = max(int(ntx).bit_length(), int(nty).bit_length())
+    assert 3 * bits <= 27, f"tile grid {ntx}x{nty} overflows payload packing"
+    # span_x >= 1 wherever `has` (span>0 needs span_x>0), so payload != 0
+    packed = (((x0 << bits) | y0) << bits) | span_x
+    pos_ff = jax.lax.cummax(jnp.zeros((M,), jnp.int32).at[tgt].max(
+        jnp.where(has, offs + 1, 0)))
+    pay_ff = _seg_ffill(
+        jnp.zeros((M,), jnp.int32).at[tgt].max(jnp.where(has, packed, 0)),
+        3 * bits)
+
+    m = jnp.arange(M, dtype=jnp.int32)
+    local = m - (pos_ff - 1)
+    mask = (1 << bits) - 1
+    sx = jnp.maximum(pay_ff & mask, 1)
     # TPU has no hardware integer division — local//sx over M entries is
     # pathologically slow — so the quotient is computed in f32 with a +0.5
     # bias (exact for local < 2^22 and the rounding margin 0.5/sx >> f32 eps)
-    geo = jnp.stack([x0, y0, span_x, offs], axis=-1)      # [N, 4] int32
-    geo_e = jnp.take(geo, src, axis=0)                    # [M, 4]
-    m = jnp.arange(M, dtype=jnp.int32)
-    local = m - geo_e[:, 3]
-    sx = jnp.maximum(geo_e[:, 2], 1)
     q = jnp.floor((local.astype(jnp.float32) + 0.5)
                   / sx.astype(jnp.float32)).astype(jnp.int32)
     rem = local - q * sx
-    tx = geo_e[:, 0] + rem
-    ty = geo_e[:, 1] + q
+    tx = (pay_ff >> (2 * bits)) + rem
+    ty = ((pay_ff >> bits) & mask) + q
     tile_id = jnp.where(m < total, ty * ntx + tx, T)  # sentinel -> end
 
     # ---- 4. stable sort by tile (preserves depth order in ties) ----------
     # multi-operand lax.sort co-sorts src with the keys in one pass —
-    # measurably cheaper than argsort + two 1.6M random gathers on TPU
-    sorted_tile, sorted_src = jax.lax.sort(
-        (tile_id, src), num_keys=1, is_stable=True)
+    # measurably cheaper than argsort + two random gathers on TPU. The
+    # backward additionally needs the sort permutation, so the residual
+    # path co-sorts an iota payload.
+    if want_res:
+        sorted_tile, sorted_src, perm = jax.lax.sort(
+            (tile_id, src, m), num_keys=1, is_stable=True)
+    else:
+        sorted_tile, sorted_src = jax.lax.sort(
+            (tile_id, src), num_keys=1, is_stable=True)
 
     # ---- 5. per-tile padded lists -----------------------------------------
     tids = jnp.arange(T, dtype=sorted_tile.dtype)
     starts = jnp.searchsorted(sorted_tile, tids, side="left")
     ends = jnp.searchsorted(sorted_tile, tids, side="right")
     K = max_per_tile
-    idx = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
-    entry_valid = idx < ends[:, None]
-    gid = jnp.take(sorted_src, jnp.clip(idx, 0, M - 1))   # [T, K]
 
-    counts = jnp.sum(entry_valid.astype(jnp.int32), axis=1)
+    counts = jnp.minimum(ends - starts, K)
     tid = jnp.arange(T, dtype=jnp.int32)
     meta = jnp.stack([counts, (tid % ntx) * tile_w, (tid // ntx) * tile_h,
                       jnp.zeros_like(tid)], axis=1)
 
-    # XLA blends consume only the first 10 attribute columns; gathering
-    # (and, in backward, scattering) the 6 pad lanes wastes ~38% of the
-    # entry traffic. The Pallas kernel path re-pads to 16 for alignment.
-    ent = jnp.take(attrs[:, :10], gid, axis=0)            # [T, K, 10]
+    # Entry blocks: per-tile segments are CONTIGUOUS in the sorted array, so
+    # instead of a [T,K] random row-gather (2x 8.35M scalar indices at the
+    # bench workload, ~285 ms on v5e — TPU gathers cost ~7.5 ns per index)
+    # materialize the attrs in sorted order once ([M] indices) and slice one
+    # contiguous K-row block per tile (T indices, bandwidth-bound): ~2x
+    # faster. Rows past a tile's count read into the next tile's segment /
+    # the zero pad block; every blend backend masks by meta counts.
+    # XLA blends consume only the first 10 attribute columns; moving the 6
+    # pad lanes would waste ~38% of the traffic (the Pallas kernel path
+    # re-pads to 16 for alignment).
+    sa = jnp.take(attrs[:, :10], sorted_src, axis=0)       # [M, 10]
+    sa = jnp.concatenate([sa, jnp.zeros((K, sa.shape[1]), sa.dtype)], axis=0)
+    ent = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(sa, (s, 0), (K, sa.shape[1])))(
+            jnp.minimum(starts, M))                        # [T, K, 10]
     n_dropped = (jnp.maximum(total - M, 0)
                  + jnp.sum(jnp.maximum(ends - starts - K, 0)))
-    return ent, meta, total, n_dropped
+    outs = (ent, meta, total, n_dropped)
+    if not want_res:
+        return outs, None
+
+    # ---- residuals for the custom backward --------------------------------
+    # Per sorted position p, its (tile, k) flat index into ent — gather-free:
+    # within-run rank k = p - run_start, run starts forward-filled by cummax.
+    change = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_), sorted_tile[1:] != sorted_tile[:-1]])
+    run_start = jax.lax.cummax(jnp.where(change, m, 0))
+    k_pos = m - run_start
+    # entries past the per-tile cap or in the sentinel run point at the
+    # zero pad row (index T*K) appended by the backward
+    j_sorted = jnp.where((sorted_tile < T) & (k_pos < K),
+                         sorted_tile * K + jnp.minimum(k_pos, K - 1),
+                         T * K)
+    # one payload sort maps it back to slot order: position m gets j_idx[m]
+    _, j_idx = jax.lax.sort((perm, j_sorted), num_keys=1, is_stable=True)
+    # per-(depth-sorted)-gaussian contiguous slot segments
+    seg_lo = jnp.clip(offs, 0, M)
+    seg_hi = jnp.clip(offs + span, 0, M)
+    # un-depth-sort permutation
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+    _, inv_order = jax.lax.sort((order, iota_n), num_keys=1, is_stable=True)
+    return outs, (j_idx, seg_lo, seg_hi, inv_order)
+
+
+def _make_binning_vjp(height, width, tile_h, tile_w, max_per_tile,
+                      dup_factor):
+    args = (height, width, tile_h, tile_w, max_per_tile, dup_factor)
+
+    @jax.custom_vjp
+    def binning(attrs, valid, depths):
+        outs, _ = _binning_impl(attrs, valid, depths, *args, want_res=False)
+        return outs
+
+    def fwd(attrs, valid, depths):
+        outs, res = _binning_impl(attrs, valid, depths, *args, want_res=True)
+        return outs, res
+
+    def bwd(res, cts):
+        j_idx, seg_lo, seg_hi, inv_order = res
+        d_ent = cts[0]                                    # [T, K, 10]
+        A = d_ent.shape[-1]
+        M = j_idx.shape[0]
+        # zero pad row at index T*K absorbs dropped/sentinel slots
+        flat = jnp.concatenate(
+            [d_ent.reshape(-1, A), jnp.zeros((1, A), d_ent.dtype)], axis=0)
+        # route each entry cotangent to its expansion slot (pure gather)
+        d_exp = jnp.take(flat, j_idx, axis=0)
+        # contiguous per-gaussian segments: cumsum + boundary difference.
+        # f32 rounding of the running sum is the only divergence from the
+        # exact scatter-add (error ~ eps·log2(M)·|prefix|, negligible vs the
+        # stochastic densify threshold this feeds).
+        c = jnp.cumsum(d_exp, axis=0)
+        hi = jnp.take(c, jnp.clip(seg_hi - 1, 0, M - 1), axis=0)
+        lo = jnp.where((seg_lo > 0)[:, None],
+                       jnp.take(c, jnp.clip(seg_lo - 1, 0, M - 1), axis=0),
+                       0.0)
+        d_sorted = jnp.where((seg_hi > seg_lo)[:, None], hi - lo, 0.0)
+        d_attrs10 = jnp.take(d_sorted, inv_order, axis=0)  # un-depth-sort
+        d_attrs = jnp.pad(d_attrs10, ((0, 0), (0, ATTRS - A)))
+        n = inv_order.shape[0]
+        d_valid = np.zeros((n,), jax.dtypes.float0)
+        # order is non-differentiable; attrs carries the grad-relevant depth
+        d_depths = jnp.zeros((n,), d_attrs.dtype)
+        return d_attrs, d_valid, d_depths
+
+    binning.defvjp(fwd, bwd)
+    return binning
 
 
 def rasterize_tiled(

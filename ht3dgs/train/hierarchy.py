@@ -98,7 +98,12 @@ class HTGaussianTrainer(GaussianTrainer):
         """init_model(BasicPointCloud) parity
         (/root/reference/scene/gaussian_model_ht.py:762-766)."""
         radius = float(np.linalg.norm(pcd.points, axis=1).max())
-        cap = capacity or _round_capacity(int(len(pcd.points) * 1.5))
+        # capacity_presize adds densification headroom up front so the 2x
+        # realloc in _grow_capacity (a minutes-long recompile on the big
+        # graph) stays a cold path; growths are counted + logged.
+        presize = max(1.0, getattr(self.pipe_cfg, "capacity_presize", 1.0))
+        cap = capacity or _round_capacity(int(len(pcd.points) * 1.5
+                                              * presize))
         state = G.create_from_pcd(
             pcd.points, pcd.colors, cap,
             max_sh_degree=self.model_cfg.sh_degree,
@@ -218,7 +223,10 @@ class HTGaussianTrainer(GaussianTrainer):
             m={k: pad(v) for k, v in bundle.opt.m.items()},
             v={k: pad(v) for k, v in bundle.opt.v.items()},
             step=bundle.opt.step)
-        self.logger.info(f"capacity grown {cap} -> {2 * cap}")
+        self.n_capacity_grows = getattr(self, "n_capacity_grows", 0) + 1
+        self.logger.info(
+            f"capacity grown {cap} -> {2 * cap} "
+            f"(growth/recompile #{self.n_capacity_grows})")
 
     # ------------------------------------------------------------------ #
     # Phase A primitives
@@ -840,6 +848,9 @@ class HTGaussianTrainer(GaussianTrainer):
             self.evaluate_on_training_images()
         self.save_checkpoint()
         self.logger.info(f"phase timing: {self.timer.summary()}")
+        self.logger.info(
+            f"capacity growths (recompiles): "
+            f"{getattr(self, 'n_capacity_grows', 0)}")
         self.timer.dump(os.path.join(self.result_path, "phase_timing.json"))
         return self.gs_bundle
 

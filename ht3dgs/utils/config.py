@@ -71,6 +71,7 @@ class PipelineConfig:
     vfi_checkpoint: Optional[str] = None
     mesh_segments: int = 1             # data-parallel segment axis size
     mesh_tiles: int = 1                # tile-sharding axis size
+    distributed: bool = False          # multi-host: jax.distributed init
     capacity_presize: float = 4.0      # parallel leaves: init-pcd capacity
     #                                    headroom (avoids mid-run recompiles)
     trace_dir: Optional[str] = None    # jax.profiler trace capture dir

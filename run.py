@@ -25,6 +25,17 @@ def main(argv=None):
     from ht3dgs.utils.config import configs_from_cli
 
     model, pipe, optim, args = configs_from_cli(argv)
+    if getattr(pipe, "distributed", False):
+        # multi-host bring-up BEFORE any other jax call: after this,
+        # jax.devices() spans the pod slice and mesh_segments/mesh_tiles
+        # address global devices (segment over DCN, tile within ICI)
+        from ht3dgs.parallel.mesh import init_distributed
+
+        import jax
+
+        n = init_distributed()
+        print(f"[distributed] process {jax.process_index()}"
+              f"/{jax.process_count()} — {n} global devices")
     start = time.time()
 
     from ht3dgs.utils.profiling import jax_trace

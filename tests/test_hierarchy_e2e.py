@@ -82,6 +82,13 @@ def test_hierarchical_training_e2e(dataset, tmp_path, monkeypatch):
     assert int(b2.state.n_live()) == n_before
     np.testing.assert_allclose(np.asarray(b2.state.means),
                                np.asarray(bundle.state.means))
+    # the restored multi-merge, post-densify model renders identically
+    _, out_a = tr.render_frame(bundle, 0)
+    _, out_b = tr.render_frame(b2, 0)
+    np.testing.assert_array_equal(np.asarray(out_a["image"]),
+                                  np.asarray(out_b["image"]))
+    # capacity pre-sizing keeps mid-run recompiles off the hot path
+    assert getattr(tr, "n_capacity_grows", 0) == 0
     # training quality: reasonable reconstruction of the training frames
     psnr = tr.evaluate_on_training_images()
     assert psnr > 18.0

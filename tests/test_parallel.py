@@ -294,3 +294,19 @@ def test_gauss_sharded_densify_runs():
     su = gs.unshard_state(sh)
     assert int(su.n_live()) >= int(state.n_live())
     assert np.all(np.isfinite(np.asarray(su.means)))
+
+
+def test_pod_mesh_and_init_distributed():
+    """Multi-host entry points: init_distributed is a safe no-op on a
+    single process; make_pod_mesh lays segments over processes and tiles
+    within a process's contiguous device block."""
+    n = mesh_lib.init_distributed()
+    assert n == len(jax.devices())
+    m = mesh_lib.make_pod_mesh(4)
+    assert m.axis_names == ("segment", "tile")
+    assert m.shape["tile"] == 4 and m.shape["segment"] == n // 4
+    # default: one segment per process (single process -> all-tile mesh)
+    m2 = mesh_lib.make_pod_mesh()
+    assert m2.shape["segment"] * m2.shape["tile"] == n
+    # idempotent re-init
+    assert mesh_lib.init_distributed() == n

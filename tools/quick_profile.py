@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Minimal TPU profile: binning fwd, binning fwd+bwd, full step (pallas)."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, iters=3):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    print(f"   (compile+1st: {time.perf_counter() - t0:.1f}s)", flush=True)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    N, H, W = 1_000_000, 1080, 1920
+    from ht3dgs.core import gaussians as G
+    from ht3dgs.core.camera import intrinsics_from_fov, make_camera
+    from ht3dgs.raster import render
+    from ht3dgs.raster.projection import project
+    from ht3dgs.raster.tiled import (_pack_attr_rows, build_tile_lists,
+                                     build_tile_lists_from_rows)
+
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((N, 3)).astype(np.float32) * 1.5
+    pts[:, 2] += 6.0
+    colors = rng.random((N, 3)).astype(np.float32)
+    state = G.create_from_pcd(pts, colors, capacity=N)
+    cam = make_camera(H, W, intrinsics_from_fov(1.2, H, W))
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    tile_kw = dict(tile_h=16, tile_w=16, max_per_tile=1024, dup_factor=16)
+    print(f"device={jax.devices()[0].platform}", flush=True)
+
+    @jax.jit
+    def proj_f(means):
+        return project(means, state.scales(), state.quats, state.opacities(),
+                       state.sh(), state.live, cam, state.active_sh_degree,
+                       state.max_sh_degree)
+
+    proj = jax.block_until_ready(proj_f(state.means))
+    print("projection compiled", flush=True)
+
+    @jax.jit
+    def binning(p):
+        ent, meta, total, nd = build_tile_lists(p, H, W, **tile_kw)
+        return ent, meta
+
+    t = timeit(binning, proj)
+    print(f"binning fwd           {t:8.1f} ms", flush=True)
+
+    @jax.jit
+    def binning_fb(p):
+        rows = _pack_attr_rows(p)
+
+        def f(r):
+            e, _, _, _ = build_tile_lists_from_rows(
+                r, p.valid, p.depths, H, W, **tile_kw)
+            return jnp.mean(e ** 2)
+
+        return jax.grad(f)(rows)
+
+    t = timeit(binning_fb, proj)
+    print(f"binning fwd+bwd       {t:8.1f} ms", flush=True)
+
+    targs = dict(tile_kw, backend="pallas")
+
+    @jax.jit
+    def step(means, sh_dc, opacity_logit):
+        def loss_fn(m, s, o):
+            st = dataclasses.replace(state, means=m, sh_dc=s,
+                                     opacity_logit=o)
+            out = render(st, cam, mode="tiled", tile_args=targs)
+            return jnp.mean((out["image"] - target) ** 2)
+        return jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+            means, sh_dc, opacity_logit)
+
+    t = timeit(step, state.means, state.sh_dc, state.opacity_logit)
+    print(f"step[pallas] fwd+bwd  {t:8.1f} ms  ({H*W/1e3/t:.2f} MP/s)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

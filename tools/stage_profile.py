@@ -91,6 +91,22 @@ def main():
     print(f"binning fwd           {t*1e3:8.1f} ms")
     ent, meta = jax.block_until_ready(jax.jit(binning)(proj))
 
+    from ht3dgs.raster.tiled import _pack_attr_rows, build_tile_lists_from_rows
+
+    @jax.jit
+    def binning_fwdbwd(p):
+        rows = _pack_attr_rows(p)
+
+        def f(r):
+            e, _, _, _ = build_tile_lists_from_rows(
+                r, p.valid, p.depths, H, W, **tile_kw)
+            return jnp.mean(e ** 2)
+
+        return jax.grad(f)(rows)
+
+    t = timeit(binning_fwdbwd, proj, iters=iters)
+    print(f"binning fwd+bwd       {t*1e3:8.1f} ms")
+
     # --- blend per backend --------------------------------------------------
     from ht3dgs.raster.pallas_blend import ATTRS, blend_pallas, \
         blend_xla_early
