@@ -70,14 +70,17 @@ def main():
             means, sh_dc, opacity_logit)
         return l, g
 
-    # warmup/compile
+    # warmup/compile. NOTE: on the remote (axon) TPU runtime
+    # block_until_ready can return before the computation has actually
+    # executed; fetching the scalar loss to the host is the only reliable
+    # completion barrier, so every timed iteration ends with float(l).
     l, g = step(state.means, state.sh_dc, state.opacity_logit)
-    jax.block_until_ready((l, g))
+    float(l)
 
     t0 = time.time()
     for _ in range(iters):
         l, g = step(state.means, state.sh_dc, state.opacity_logit)
-    jax.block_until_ready((l, g))
+        float(l)
     dt = (time.time() - t0) / iters
 
     mpix_per_s = (H * W / 1e6) / dt

@@ -127,13 +127,14 @@ def build_tile_lists_from_rows(
     Projected. Semantically identical to `build_tile_lists`.
 
     Differentiable w.r.t. `attrs` through a custom VJP: the cotangent of the
-    two row gathers (depth sort + per-tile entry expansion) is a
-    segment-sum, which XLA would execute as a serial scatter-add (~680 ms at
-    1M Gaussians / 1080p on v5e). The custom backward instead routes each
-    entry gradient to its expansion slot with a precomputed inverse
-    permutation (one gather), segment-sums per Gaussian with a cumsum +
-    boundary-difference (segments are contiguous in expansion order), and
-    un-sorts — ~6x faster, identical up to f32 cumsum rounding."""
+    binning is a per-Gaussian segment-sum of entry cotangents, which XLA
+    would execute as a serial scatter-add (~680 ms at 1M Gaussians / 1080p
+    on v5e). The custom backward instead routes the compacted [T*K] entry
+    cotangents to expansion-slot order with ONE multi-payload lax.sort
+    (key = consumed slot, precomputed in the forward), segment-sums per
+    Gaussian with a cumsum + boundary-difference over contiguous kept-rank
+    ranges, and un-sorts — ~5x faster, identical up to f32 cumsum
+    rounding."""
     key = (height, width, tile_h, tile_w, max_per_tile, dup_factor)
     if key not in _BINNING_CACHE:
         _BINNING_CACHE[key] = _make_binning_vjp(*key)
@@ -258,26 +259,38 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
         return outs, None
 
     # ---- residuals for the custom backward --------------------------------
-    # Per sorted position p, its (tile, k) flat index into ent — gather-free:
-    # within-run rank k = p - run_start, run starts forward-filled by cummax.
+    # The backward sorts the COMPACTED [T*K] ent-row cotangents by the slot
+    # each row consumed, then segment-sums per gaussian over contiguous
+    # *kept-rank* ranges. Residuals: the slot index per ent row, the
+    # per-gaussian kept-rank bounds, and the un-depth-sort permutation.
+    #
+    # slot per ent row, via the same contiguous-slice trick as `ent`:
+    # sorted positions of tile t are [starts[t], starts[t]+cnt) and perm
+    # maps sorted position -> slot. Pad rows (k >= cnt) get sentinel M.
+    perm_pad = jnp.concatenate([perm, jnp.full((K,), M, jnp.int32)])
+    s_flat = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(perm_pad, (s,), (K,)))(
+            jnp.minimum(starts, M))                       # [T, K]
+    kk = jnp.arange(K, dtype=jnp.int32)[None, :]
+    s_flat = jnp.where(kk < counts[:, None], s_flat, M).reshape(-1)
+    # kept-rank of a slot boundary x = #kept slots < x. kept(p) in sorted
+    # space is cheap (within-run rank < K); one payload sort routes it to
+    # slot order, an int cumsum turns it into ranks.
     change = jnp.concatenate([
         jnp.ones((1,), jnp.bool_), sorted_tile[1:] != sorted_tile[:-1]])
     run_start = jax.lax.cummax(jnp.where(change, m, 0))
-    k_pos = m - run_start
-    # entries past the per-tile cap or in the sentinel run point at the
-    # zero pad row (index T*K) appended by the backward
-    j_sorted = jnp.where((sorted_tile < T) & (k_pos < K),
-                         sorted_tile * K + jnp.minimum(k_pos, K - 1),
-                         T * K)
-    # one payload sort maps it back to slot order: position m gets j_idx[m]
-    _, j_idx = jax.lax.sort((perm, j_sorted), num_keys=1, is_stable=True)
-    # per-(depth-sorted)-gaussian contiguous slot segments
+    kept_p = ((sorted_tile < T) & ((m - run_start) < K)).astype(jnp.int32)
+    _, kept_slot = jax.lax.sort((perm, kept_p), num_keys=1, is_stable=True)
+    kp = jnp.cumsum(kept_slot)                            # inclusive
+    # per-(depth-sorted)-gaussian contiguous slot segments -> kept ranks
     seg_lo = jnp.clip(offs, 0, M)
     seg_hi = jnp.clip(offs + span, 0, M)
+    klo = jnp.where(seg_lo > 0, jnp.take(kp, jnp.maximum(seg_lo - 1, 0)), 0)
+    khi = jnp.where(seg_hi > 0, jnp.take(kp, jnp.maximum(seg_hi - 1, 0)), 0)
     # un-depth-sort permutation
     iota_n = jnp.arange(N, dtype=jnp.int32)
     _, inv_order = jax.lax.sort((order, iota_n), num_keys=1, is_stable=True)
-    return outs, (j_idx, seg_lo, seg_hi, inv_order)
+    return outs, (s_flat, klo, khi, inv_order)
 
 
 def _make_binning_vjp(height, width, tile_h, tile_w, max_per_tile,
@@ -294,25 +307,30 @@ def _make_binning_vjp(height, width, tile_h, tile_w, max_per_tile,
         return outs, res
 
     def bwd(res, cts):
-        j_idx, seg_lo, seg_hi, inv_order = res
+        s_flat, klo, khi, inv_order = res
         d_ent = cts[0]                                    # [T, K, 10]
         A = d_ent.shape[-1]
-        M = j_idx.shape[0]
-        # zero pad row at index T*K absorbs dropped/sentinel slots
-        flat = jnp.concatenate(
-            [d_ent.reshape(-1, A), jnp.zeros((1, A), d_ent.dtype)], axis=0)
-        # route each entry cotangent to its expansion slot (pure gather)
-        d_exp = jnp.take(flat, j_idx, axis=0)
-        # contiguous per-gaussian segments: cumsum + boundary difference.
-        # f32 rounding of the running sum is the only divergence from the
-        # exact scatter-add (error ~ eps·log2(M)·|prefix|, negligible vs the
-        # stochastic densify threshold this feeds).
-        c = jnp.cumsum(d_exp, axis=0)
-        hi = jnp.take(c, jnp.clip(seg_hi - 1, 0, M - 1), axis=0)
-        lo = jnp.where((seg_lo > 0)[:, None],
-                       jnp.take(c, jnp.clip(seg_lo - 1, 0, M - 1), axis=0),
+        TK = s_flat.shape[0]
+        # Route entry cotangents to slot order with ONE multi-payload sort
+        # over the compacted [T*K] rows (~194 ms for 11 operands at 16M on
+        # v5e, ~half that at 8.35M) instead of a random row gather (~370 ms:
+        # TPU gathers from HBM-resident tables cost ~25 ns per index).
+        # Non-kept rows carry sentinel key M and zero cotangent -> tail.
+        d_flat = d_ent.reshape(TK, A)
+        outs_s = jax.lax.sort(
+            (s_flat,) + tuple(d_flat[:, i] for i in range(A)),
+            num_keys=1, is_stable=True)
+        d_srt = jnp.stack(outs_s[1:], axis=-1)            # [TK, A]
+        # contiguous per-gaussian kept-rank segments: cumsum + boundary
+        # difference. f32 rounding of the running sum is the only divergence
+        # from the exact scatter-add (error ~ eps·log2(TK)·|prefix|,
+        # negligible vs the stochastic densify threshold this feeds).
+        c = jnp.cumsum(d_srt, axis=0)
+        hi = jnp.take(c, jnp.clip(khi - 1, 0, TK - 1), axis=0)
+        lo = jnp.where((klo > 0)[:, None],
+                       jnp.take(c, jnp.clip(klo - 1, 0, TK - 1), axis=0),
                        0.0)
-        d_sorted = jnp.where((seg_hi > seg_lo)[:, None], hi - lo, 0.0)
+        d_sorted = jnp.where((khi > klo)[:, None], hi - lo, 0.0)
         d_attrs10 = jnp.take(d_sorted, inv_order, axis=0)  # un-depth-sort
         d_attrs = jnp.pad(d_attrs10, ((0, 0), (0, ATTRS - A)))
         n = inv_order.shape[0]

@@ -36,6 +36,7 @@ def trained(tmp_path_factory):
         pipe.depth_dir = str(d / "depth")
         pipe.vfi_provider = "blend"
         pipe.init_max_points = 300
+        pipe.capacity_presize = 2.0   # keep CPU-test capacities small
         pipe.train_pose_mode = None
         pipe.multi_source_supervision = "vfi"
         optim.single_step = 15

@@ -36,6 +36,7 @@ def tiny_cfg(img_dir, **over):
     model.seq_name = "a"
     pipe.train_level = 1
     pipe.render_mode = "oracle"
+    pipe.capacity_presize = 2.0   # keep CPU-test capacities small
     pipe.depth_provider = "precomputed"
     pipe.depth_dir = os.path.join(os.path.dirname(img_dir), "depth")
     pipe.vfi_provider = "blend"

@@ -32,6 +32,7 @@ def make_trainer(d, batch, vfi, tmp):
     model.seq_name = f"b{batch}{vfi}"
     pipe.train_level = 1
     pipe.render_mode = "oracle"
+    pipe.capacity_presize = 2.0   # keep CPU-test capacities small
     pipe.depth_provider = "precomputed"
     pipe.depth_dir = os.path.join(d, "depth")
     pipe.vfi_provider = "blend" if vfi else "none"

@@ -17,12 +17,12 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """fn must return a SCALAR; a host fetch forces real execution on the
+    remote runtime (block_until_ready alone returns early there)."""
+    float(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        v = float(fn(*args))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -40,22 +40,22 @@ def main():
     d_exp = jnp.asarray(rng.standard_normal((M, 10)), jnp.float32)
     print("shapes ready", flush=True)
 
-    f = jax.jit(lambda fl, ji: jnp.take(fl, ji, axis=0))
+    f = jax.jit(lambda fl, ji: jnp.sum(jnp.take(fl, ji, axis=0)))
     print(f"route gather [M]<-[T*K,10]   {timeit(f, d_ent, j_idx):8.1f} ms",
           flush=True)
 
-    f = jax.jit(lambda x: jnp.cumsum(x, axis=0))
+    f = jax.jit(lambda x: jnp.sum(jnp.cumsum(x, axis=0)[-1]))
     print(f"cumsum [M,10] axis0          {timeit(f, d_exp):8.1f} ms",
           flush=True)
 
-    f = jax.jit(lambda x: jnp.cumsum(x, axis=1))
+    f = jax.jit(lambda x: jnp.sum(jnp.cumsum(x, axis=1)[:, -1]))
     xt = jnp.asarray(rng.standard_normal((10, M)), jnp.float32)
     print(f"cumsum [10,M] axis1          {timeit(f, xt):8.1f} ms",
           flush=True)
 
-    f = jax.jit(lambda x: jnp.cumsum(
-        x.reshape(-1, 2048, 10), axis=1))
-    print(f"cumsum blocked [Mb,2048,10]  {timeit(f, d_exp):8.1f} ms",
+    f = jax.jit(lambda x: jnp.sum(jnp.cumsum(
+        x.reshape(-1, 2000, 10), axis=1)[:, -1]))
+    print(f"cumsum blocked [Mb,2000,10]  {timeit(f, d_exp):8.1f} ms",
           flush=True)
 
     @jax.jit
@@ -63,13 +63,13 @@ def main():
         h = jnp.take(c, jnp.clip(hi - 1, 0, M - 1), axis=0)
         l = jnp.where((lo > 0)[:, None],
                       jnp.take(c, jnp.clip(lo - 1, 0, M - 1), axis=0), 0.0)
-        return h - l
+        return jnp.sum(h - l)
 
     c = jnp.cumsum(d_exp, axis=0)
     print(f"boundary gathers 2x[N,10]    {timeit(boundaries, c, seg_lo, seg_hi):8.1f} ms",
           flush=True)
 
-    f = jax.jit(lambda d, io: jnp.take(d, io, axis=0))
+    f = jax.jit(lambda d, io: jnp.sum(jnp.take(d, io, axis=0)))
     dn = jnp.asarray(rng.standard_normal((N, 10)), jnp.float32)
     print(f"unsort gather [N,10]         {timeit(f, dn, inv_order):8.1f} ms",
           flush=True)
@@ -92,7 +92,7 @@ def main():
         h = pref(jnp.clip(hi - 1, 0, M - 1))
         l = jnp.where((lo > 0)[:, None], pref(jnp.clip(lo - 1, 0, M - 1)),
                       0.0)
-        return h - l
+        return jnp.sum(h - l)
 
     print(f"2-level segsum (cumsum+bnd)  {timeit(seg2level, d_exp, seg_lo, seg_hi):8.1f} ms",
           flush=True)

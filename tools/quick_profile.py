@@ -13,15 +13,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _force(out):
+    """Host-fetch one element: the only reliable completion barrier on the
+    remote runtime (block_until_ready can return early)."""
+    import jax.tree_util as jtu
+    leaf = jtu.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def timeit(fn, *args, iters=3):
     t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _force(fn(*args))
     print(f"   (compile+1st: {time.perf_counter() - t0:.1f}s)", flush=True)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _force(fn(*args))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
