@@ -46,6 +46,25 @@ def quat_to_rotmat(q: jax.Array) -> jax.Array:
     return quat_to_matrix(quat_normalize(q))
 
 
+def _quat_rotmat_cols(quats: jax.Array):
+    """Rotation-matrix entries of normalized quats as nine [N] arrays.
+
+    Column form instead of [N,3,3]: XLA lays [N,3,3] out with the trailing
+    (3,3) padded to a full (8,128) memory tile — a 57x HBM expansion that
+    OOMs batched/vmapped graphs and wastes 92% of every vector op. All the
+    3x3 algebra in this stage is therefore unrolled over scalar columns.
+    """
+    from ..core.se3 import quat_normalize
+
+    x, y, z, w = jnp.moveaxis(quat_normalize(quats), -1, 0)
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return ((1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy)),
+            (2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx)),
+            (2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy)))
+
+
 def compute_cov3d(scales: jax.Array, quats: jax.Array,
                   scale_modifier: float = 1.0) -> jax.Array:
     """Σ = L Lᵀ with L = R(q) diag(s·mod). Returns [N, 3, 3]."""
@@ -103,8 +122,9 @@ def project(
     means2d = jnp.stack([px, py], axis=-1)
 
     # --- EWA 2D covariance -------------------------------------------------
-    cov3d = compute_cov3d(scales, quats, scale_modifier)
-
+    # Fully unrolled over scalar [N] columns: no [N,3,3]/[N,2,3]
+    # intermediates (see _quat_rotmat_cols for why). cov2d = A Aᵀ with
+    # A = (J Rcw) (Rq diag(s)) — J the 2x3 perspective Jacobian.
     tan_fovx = camera.tan_half_fovx
     tan_fovy = camera.tan_half_fovy
     tz = p_view[:, 2]
@@ -117,18 +137,23 @@ def project(
     fx, fy = camera.fx, camera.fy
     inv_z = 1.0 / tz_safe
     inv_z2 = inv_z * inv_z
-    # J rows of the perspective Jacobian (2x3), per Gaussian
-    J = jnp.zeros((N, 2, 3), dtype=means3d.dtype)
-    J = J.at[:, 0, 0].set(fx * inv_z)
-    J = J.at[:, 0, 2].set(-fx * tx * inv_z2)
-    J = J.at[:, 1, 1].set(fy * inv_z)
-    J = J.at[:, 1, 2].set(-fy * ty * inv_z2)
-
-    M = J @ Rcw  # [N, 2, 3]
-    cov2d = M @ cov3d @ jnp.swapaxes(M, -1, -2)  # [N, 2, 2]
-    c00 = cov2d[:, 0, 0] + COV2D_BLUR
-    c01 = cov2d[:, 0, 1]
-    c11 = cov2d[:, 1, 1] + COV2D_BLUR
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z2
+    # m[r][k] = (J @ Rcw)[r,k]; Rcw entries are compile-time-shared scalars
+    m0 = [j00 * Rcw[0, k] + j02 * Rcw[2, k] for k in range(3)]
+    m1 = [j11 * Rcw[1, k] + j12 * Rcw[2, k] for k in range(3)]
+    rq = _quat_rotmat_cols(quats)
+    s = scales * scale_modifier
+    # a[r][j] = sum_k m[r][k] * Rq[k][j] * s_j
+    a0 = [(m0[0] * rq[0][j] + m0[1] * rq[1][j] + m0[2] * rq[2][j]) * s[:, j]
+          for j in range(3)]
+    a1 = [(m1[0] * rq[0][j] + m1[1] * rq[1][j] + m1[2] * rq[2][j]) * s[:, j]
+          for j in range(3)]
+    c00 = a0[0] * a0[0] + a0[1] * a0[1] + a0[2] * a0[2] + COV2D_BLUR
+    c01 = a0[0] * a1[0] + a0[1] * a1[1] + a0[2] * a1[2]
+    c11 = a1[0] * a1[0] + a1[1] * a1[1] + a1[2] * a1[2] + COV2D_BLUR
 
     det = c00 * c11 - c01 * c01
     det_safe = jnp.where(det == 0.0, 1.0, det)

@@ -238,20 +238,22 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
                       jnp.zeros_like(tid)], axis=1)
 
     # Entry blocks: per-tile segments are CONTIGUOUS in the sorted array, so
-    # instead of a [T,K] random row-gather (2x 8.35M scalar indices at the
-    # bench workload, ~285 ms on v5e — TPU gathers cost ~7.5 ns per index)
-    # materialize the attrs in sorted order once ([M] indices) and slice one
-    # contiguous K-row block per tile (T indices, bandwidth-bound): ~2x
-    # faster. Rows past a tile's count read into the next tile's segment /
-    # the zero pad block; every blend backend masks by meta counts.
-    # XLA blends consume only the first 10 attribute columns; moving the 6
-    # pad lanes would waste ~38% of the traffic (the Pallas kernel path
-    # re-pads to 16 for alignment).
-    sa = jnp.take(attrs[:, :10], sorted_src, axis=0)       # [M, 10]
-    sa = jnp.concatenate([sa, jnp.zeros((K, sa.shape[1]), sa.dtype)], axis=0)
-    ent = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(sa, (s, 0), (K, sa.shape[1])))(
-            jnp.minimum(starts, M))                        # [T, K, 10]
+    # the per-tile gaussian ids come from one contiguous K-slice of
+    # sorted_src per tile (cheap, bandwidth-bound) and the entries from ONE
+    # row-gather of the [N,10] attr table at those T*K indices. TPU gathers
+    # cost per *index* (~7.5 ns from a VMEM-cacheable table), so gathering
+    # at the [T*K] kept set (~8.35M at the bench workload) beats both the
+    # old [T,K] double gather (2x indices + searchsorted-adjacent work,
+    # 285 ms) and an [M]-index sorted-order materialization (~108 ms).
+    # Rows past a tile's count alias the next tile's segment; every blend
+    # backend masks by meta counts. XLA blends consume only the first 10
+    # attribute columns; moving the 6 pad lanes would waste ~38% of the
+    # traffic (the Pallas kernel path re-pads to 16 for alignment).
+    src_pad = jnp.concatenate([sorted_src, jnp.zeros((K,), jnp.int32)])
+    csrc = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(src_pad, (s,), (K,)))(
+            jnp.minimum(starts, M))                        # [T, K]
+    ent = jnp.take(attrs[:, :10], csrc, axis=0)            # [T, K, 10]
     n_dropped = (jnp.maximum(total - M, 0)
                  + jnp.sum(jnp.maximum(ends - starts - K, 0)))
     outs = (ent, meta, total, n_dropped)

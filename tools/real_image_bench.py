@@ -51,6 +51,10 @@ def main():
     pipe.depth_provider = "precomputed"
     pipe.depth_dir = os.path.join(data_dir, "depth")
     if full:
+        # ~110k unprojected points/frame at 288x384; cap the init clouds and
+        # the Phase A batch so 8 concurrent local models fit 16G HBM
+        pipe.init_max_points = 40_000
+        pipe.phase_a_batch = 4
         optim.single_step = 100
         optim.phase_a_fit_iters = 400
         optim.phase_a_pose_iters = 150
