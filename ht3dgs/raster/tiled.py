@@ -429,10 +429,19 @@ def _assemble(rgb, T_buf, dep, height, width, ntx, nty, tile_h, tile_w,
         return x[:height, :width]
 
     image = untile(rgb, 3) + untile(T_buf)[..., None] * bg_color[None, None, :]
+    # optimization_barrier: on the TPU backend, fusing this untile
+    # (reshape/moveaxis/slice) into a downstream reduction inside a
+    # value_and_grad graph MISCOMPILES — the fused reduce reads garbage
+    # (loss off by 2000x while a materialized copy of the same tensor is
+    # correct; reproduced back to round 1, tools/tpu_parity_probe.py). The
+    # barrier forces materialization at the tile boundary; cost is one
+    # HBM round-trip that the blend output pays anyway.
+    image, dep_u, alpha = jax.lax.optimization_barrier(
+        (jnp.clip(image, 0.0, 1.0), untile(dep), 1.0 - untile(T_buf)))
     return {
-        "image": jnp.clip(image, 0.0, 1.0),
-        "depth": untile(dep),
-        "alpha": 1.0 - untile(T_buf),
+        "image": image,
+        "depth": dep_u,
+        "alpha": alpha,
         "n_entries": total,
         "n_dropped": n_dropped,
     }
