@@ -35,8 +35,14 @@ def main():
     # scale the workload down on CPU so the bench still runs in CI
     if on_tpu:
         n_gauss, H, W = 1_000_000, 1080, 1920
-        tile_args = dict(tile_h=16, tile_w=16, max_per_tile=1024,
-                         dup_factor=16, backend="pallas")
+        # Capacity operating point validated by tools/cap_sweep2.py: vs the
+        # widest (K=1024, dup=16) configuration, K=512/dup=8 renders this
+        # workload with max image deviation 6e-5 (< 1/50 of an 8-bit LSB)
+        # and max relative means-grad deviation 2.5e-4 — the per-tile drop
+        # is farthest-first, which per-pixel transmittance termination
+        # would skip anyway.
+        tile_args = dict(tile_h=16, tile_w=16, max_per_tile=512,
+                         dup_factor=8, backend="pallas")
         iters = 10
     else:
         n_gauss, H, W = 20_000, 216, 384

@@ -11,10 +11,11 @@ Kernel structure (v3, per pallas_guide.md):
   C_STEP=64-entry chunk of each. Mosaic's pipeline double-buffers the next
   [TB, C, 16] entry block from HBM while the current one computes.
 - fully vectorized chunk math: alpha [TB, C, P] on the VPU, within-chunk
-  transmittance via exp(prefix-sum(log(1-alpha))) with a Hillis-Steele
-  shifted-add scan along the sublane axis (Mosaic has no cumprod), and one
-  [4, C] x [C, P] MXU matmul per tile for the color/depth accumulation.
-  No per-entry sequential loop.
+  transmittance via a direct Hillis-Steele prefix-*product* along the
+  sublane axis (matching the CUDA reference's running products — no
+  log/exp transcendentals on the hot path), and one [4, C] x [C, P] MXU
+  matmul per tile for the color/depth accumulation. No per-entry
+  sequential loop.
 - accumulators (rgb, depth, transmittance, done-flag) live in VMEM scratch
   persisting across the sequential entry-chunk axis.
 - termination is *sticky* (CUDA `done` flag): once a pixel's transmittance
@@ -61,10 +62,8 @@ OUT_ROWS = 8  # r,g,b,depth,Tfinal,done,pad,pad
 # the kernels — single source of truth for the blending semantics)
 
 def _sublane_cumsum(x: jax.Array) -> jax.Array:
-    """Inclusive prefix sum along axis 1 via log2(C) shifted adds.
-
-    Mosaic-safe replacement for jnp.cumsum (static concats along the
-    sublane dim only)."""
+    """Inclusive prefix sum along axis 1 via log2(C) shifted adds
+    (Mosaic-safe; used by the backward's suffix accumulation)."""
     C = x.shape[1]
     sh = 1
     while sh < C:
@@ -74,14 +73,30 @@ def _sublane_cumsum(x: jax.Array) -> jax.Array:
     return x
 
 
-def _chunk_core(blk, pxv, pyv, n_vec, base, cumsum1):
+def _sublane_cumprod(x: jax.Array) -> jax.Array:
+    """Inclusive prefix product along axis 1 via log2(C) shifted multiplies.
+
+    Mosaic-safe replacement for jnp.cumprod (static concats along the
+    sublane dim only). Direct products match the CUDA reference (and the
+    jnp oracle, raster/reference.py) and cost 2-3 transcendentals per
+    entry-pixel less than the previous exp(cumsum(log1p)) formulation."""
+    C = x.shape[1]
+    sh = 1
+    while sh < C:
+        x = x * jnp.concatenate(
+            [jnp.ones_like(x[:, :sh, :]), x[:, :C - sh, :]], axis=1)
+        sh *= 2
+    return x
+
+
+def _chunk_core(blk, pxv, pyv, n_vec, base, cumprod1):
     """Per-chunk alpha + within-chunk transmittance.
 
     blk: [B, C, A] packed entries; pxv/pyv: [B, 1, P] pixel coords;
     n_vec: float entry counts broadcastable against [B, C, P];
-    base: scalar index of the chunk's first entry; cumsum1: inclusive
-    prefix-sum along axis 1.
-    Returns (alpha, one_minus, lg, t_within, res) with res the residues
+    base: scalar index of the chunk's first entry; cumprod1: inclusive
+    prefix-product along axis 1.
+    Returns (alpha, one_minus, t_within, res) with res the residues
     needed by the backward: (dx, dy, power, raw, gate).
     """
     C = blk.shape[1]
@@ -103,12 +118,11 @@ def _chunk_core(blk, pxv, pyv, n_vec, base, cumsum1):
     gate = (power <= 0.0) & (alpha >= ALPHA_MIN) & evalid
     alpha = jnp.where(gate, alpha, 0.0)
     one_minus = 1.0 - alpha
-    lg = jnp.log(one_minus)
-    t_within = jnp.exp(cumsum1(lg))             # inclusive, within chunk
-    return alpha, one_minus, lg, t_within, (dx, dy, power, raw, gate)
+    t_within = cumprod1(one_minus)              # inclusive, within chunk
+    return alpha, one_minus, t_within, (dx, dy, power, raw, gate)
 
 
-def _chunk_weights(alpha, lg, t_within, tbuf, done):
+def _chunk_weights(alpha, t_within, tbuf, done):
     """Front-to-back weights with sticky termination.
 
     tbuf/done: [B, 1, P] carried transmittance and done-flag (float 0/1).
@@ -118,10 +132,14 @@ def _chunk_weights(alpha, lg, t_within, tbuf, done):
     t_after = tbuf * t_within
     kept = (t_after >= T_EPS) & (done < 0.5)
     w = jnp.where(kept, alpha * t_excl, 0.0)
-    tbuf_next = tbuf * jnp.exp(
-        jnp.sum(jnp.where(kept, lg, 0.0), axis=1, keepdims=True))
-    # t_after is monotone non-increasing within the chunk, so the last row
-    # detects whether any entry crossed the threshold (the CUDA `done`)
+    # t_after is monotone non-increasing within the chunk, so `kept` is a
+    # prefix: the carried transmittance after the chunk is the last kept
+    # t_after (tbuf >= t_after everywhere makes the min pick exactly it,
+    # or tbuf when nothing was kept)
+    tbuf_next = jnp.min(jnp.where(kept, t_after, tbuf), axis=1,
+                        keepdims=True)
+    # ... and the last row detects whether any entry crossed the threshold
+    # (the CUDA `done`)
     done_next = jnp.maximum(
         done, (t_after[:, -1:, :] < T_EPS).astype(tbuf.dtype))
     return w, kept, t_excl, tbuf_next, done_next
@@ -172,11 +190,10 @@ def _blend_fwd_kernel(meta_ref, aux_ref, ent_ref, out_ref, acc_ref, *,
     @pl.when(live)
     def _():
         blk = ent_ref[:, :, :]
-        alpha, _, lg, t_within, _ = _chunk_core(
+        alpha, _, t_within, _ = _chunk_core(
             blk, aux_ref[:, 0:1, :], aux_ref[:, 1:2, :], aux_ref[:, 2:3, :],
-            c * C_STEP, _sublane_cumsum)
-        w, _, _, tbuf2, done2 = _chunk_weights(alpha, lg, t_within, tbuf,
-                                               done)
+            c * C_STEP, _sublane_cumprod)
+        w, _, _, tbuf2, done2 = _chunk_weights(alpha, t_within, tbuf, done)
         attr_t = jnp.swapaxes(_attr_cols(blk), 1, 2)        # [TB, 4, C]
         acc_ref[:, 0:4, :] = acc_ref[:, 0:4, :] + _bdot(attr_t, w, 2, 1)
         acc_ref[:, 4:5, :] = tbuf2
@@ -278,11 +295,10 @@ def _bwd_passA_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
     @pl.when(live)
     def _():
         blk = ent_ref[:, :, :]
-        alpha, _, lg, t_within, _ = _chunk_core(
+        alpha, _, t_within, _ = _chunk_core(
             blk, aux_ref[:, 0:1, :], aux_ref[:, 1:2, :], aux_ref[:, 2:3, :],
-            c * C_STEP, _sublane_cumsum)
-        w, _, _, tbuf2, done2 = _chunk_weights(alpha, lg, t_within, tbuf,
-                                               done)
+            c * C_STEP, _sublane_cumprod)
+        w, _, _, tbuf2, done2 = _chunk_weights(alpha, t_within, tbuf, done)
         a_dot = _bdot(_attr_cols(blk), dg_ref[:, 0:4, :], 2, 1)  # [TB,C,P]
         acc_ref[:, 0:1, :] = acc_ref[:, 0:1, :] + \
             jnp.sum(w * a_dot, axis=1, keepdims=True)
@@ -328,12 +344,12 @@ def _bwd_passB_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
     @pl.when(live)
     def _():
         blk = ent_ref[:, :, :]
-        alpha, one_minus, lg, t_within, res = _chunk_core(
+        alpha, one_minus, t_within, res = _chunk_core(
             blk, aux_ref[:, 0:1, :], aux_ref[:, 1:2, :], aux_ref[:, 2:3, :],
-            c * C_STEP, _sublane_cumsum)
+            c * C_STEP, _sublane_cumprod)
         dx, dy, power, raw, gate = res
         w, kept, t_excl, tbuf2, done2 = _chunk_weights(
-            alpha, lg, t_within, tbuf, done)
+            alpha, t_within, tbuf, done)
         dA = dg_ref[:, 0:4, :]
         a_dot = _bdot(_attr_cols(blk), dA, 2, 1)            # [TB, C, P]
         contrib = w * a_dot
@@ -447,8 +463,8 @@ def _tile_pix(meta, tile_w, P):
     return pxv[:, None, :], pyv[:, None, :]     # [T, 1, P]
 
 
-def _cumsum1(x):
-    return jnp.cumsum(x, axis=1)
+def _cumprod1(x):
+    return jnp.cumprod(x, axis=1)
 
 
 def _jnp_blend_from_ent(ent: jax.Array, meta: jax.Array, *, tile_h: int,
@@ -467,9 +483,9 @@ def _jnp_blend_from_ent(ent: jax.Array, meta: jax.Array, *, tile_h: int,
     def body(carry, xs):
         acc, tbuf, done = carry
         blk, base = xs          # blk [T, C, A]
-        alpha, _, lg, t_within, _ = _chunk_core(blk, pxv, pyv, n_vec, base,
-                                                _cumsum1)
-        w, _, _, tbuf, done = _chunk_weights(alpha, lg, t_within, tbuf, done)
+        alpha, _, t_within, _ = _chunk_core(blk, pxv, pyv, n_vec, base,
+                                            _cumprod1)
+        w, _, _, tbuf, done = _chunk_weights(alpha, t_within, tbuf, done)
         acc = acc + _bdot(jnp.swapaxes(_attr_cols(blk), 1, 2), w, 2, 1)
         return (acc, tbuf, done), None
 
@@ -510,9 +526,9 @@ def _jnp_blend_early(ent: jax.Array, meta: jax.Array, *, tile_h: int,
     def body(carry):
         ci, acc, tbuf, done = carry
         blk = jax.lax.dynamic_index_in_dim(ent_c, ci, 0, keepdims=False)
-        alpha, _, lg, t_within, _ = _chunk_core(blk, pxv, pyv, n_vec,
-                                                ci * C, _cumsum1)
-        w, _, _, tbuf, done = _chunk_weights(alpha, lg, t_within, tbuf, done)
+        alpha, _, t_within, _ = _chunk_core(blk, pxv, pyv, n_vec,
+                                            ci * C, _cumprod1)
+        w, _, _, tbuf, done = _chunk_weights(alpha, t_within, tbuf, done)
         acc = acc + _bdot(jnp.swapaxes(_attr_cols(blk), 1, 2), w, 2, 1)
         return ci + 1, acc, tbuf, done
 
@@ -554,9 +570,9 @@ def _blend_bwd_analytic(ent, meta, tbuf_out, cts, *, tile_h: int,
     def passA_body(carry):
         ci, s_tot, tbuf, done = carry
         blk = jax.lax.dynamic_index_in_dim(ent_c, ci, 0, keepdims=False)
-        alpha, _, lg, t_within, _ = _chunk_core(blk, pxv, pyv, n_vec,
-                                                ci * C, _cumsum1)
-        w, _, _, tbuf, done = _chunk_weights(alpha, lg, t_within, tbuf, done)
+        alpha, _, t_within, _ = _chunk_core(blk, pxv, pyv, n_vec,
+                                            ci * C, _cumprod1)
+        w, _, _, tbuf, done = _chunk_weights(alpha, t_within, tbuf, done)
         a_dot = _bdot(_attr_cols(blk), dA, 2, 1)            # [T, C, P]
         s_tot = s_tot + jnp.sum(w * a_dot, axis=1, keepdims=True)
         return ci + 1, s_tot, tbuf, done
@@ -574,10 +590,10 @@ def _blend_bwd_analytic(ent, meta, tbuf_out, cts, *, tile_h: int,
     def passB_body(carry):
         ci, s_pref, tbuf, done, d_acc = carry
         blk = jax.lax.dynamic_index_in_dim(ent_c, ci, 0, keepdims=False)
-        alpha, one_minus, lg, t_within, res = _chunk_core(
-            blk, pxv, pyv, n_vec, ci * C, _cumsum1)
+        alpha, one_minus, t_within, res = _chunk_core(
+            blk, pxv, pyv, n_vec, ci * C, _cumprod1)
         dx, dy, power, raw, gate = res
-        w, kept, t_excl, tbuf, done = _chunk_weights(alpha, lg, t_within,
+        w, kept, t_excl, tbuf, done = _chunk_weights(alpha, t_within,
                                                      tbuf, done)
         a_dot = _bdot(_attr_cols(blk), dA, 2, 1)            # [T, C, P]
         contrib = w * a_dot

@@ -38,6 +38,7 @@ class Projected(NamedTuple):
     colors: jax.Array    # [N, 3] RGB (SH evaluated, clamped >= 0)
     opacities: jax.Array  # [N] post-sigmoid opacity
     valid: jax.Array     # [N] bool: live && in frustum && radius > 0
+    extents: jax.Array   # [N, 2] per-axis binning half-extents (pixels)
 
 
 def quat_to_rotmat(q: jax.Array) -> jax.Array:
@@ -164,6 +165,23 @@ def project(
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
 
+    # Tight per-axis binning extents. The blend gates every sample at
+    # alpha = op*exp(-0.5 d^T C^-1 d) >= 1/255, so the support is the
+    # ellipse 0.5 d^T C^-1 d <= ln(255*op), whose axis-aligned bbox is
+    # |dx| <= sqrt(2 ln(255 op) * cov_xx) (and likewise y). Tiles outside
+    # that bbox contribute exactly zero forward value AND zero gradient
+    # (the gate also zeroes the backward), so binning with these extents is
+    # bit-equivalent to the oracle while generating far fewer tile entries
+    # than the CUDA reference's isotropic 3-sigma square (which we keep as
+    # a cap: the reference drops the alpha>=1/255 tail beyond 3 sigma for
+    # near-opaque Gaussians, and `radii` stays the densification metric).
+    # +1 px guards the floor/ceil tile rounding at tiny extents.
+    lvl2 = 2.0 * jnp.maximum(jnp.log(255.0 * jnp.maximum(opacities, 1e-9)),
+                             0.0)
+    ex = jnp.minimum(jnp.sqrt(lvl2 * jnp.maximum(c00, 0.0)), radius_f) + 1.0
+    ey = jnp.minimum(jnp.sqrt(lvl2 * jnp.maximum(c11, 0.0)), radius_f) + 1.0
+    extents = jnp.stack([ex, ey], axis=-1)
+
     in_front = depths > NEAR_CULL
     ok = in_front & (det > 0.0) & live
     radii = jnp.where(ok, radius_f, 0.0).astype(jnp.int32)
@@ -198,4 +216,5 @@ def project(
         colors=jnp.where(v1, colors, 0.0),
         opacities=jnp.where(valid, opacities, 0.0),
         valid=valid,
+        extents=jnp.where(v1, extents, 0.0),
     )

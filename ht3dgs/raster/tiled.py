@@ -78,14 +78,14 @@ def _seg_ffill(key: jax.Array, pb: int) -> jax.Array:
 
 
 def _pack_attr_rows(proj: Projected) -> jax.Array:
-    """[N, 16]: mx, my, ca, cb, cc, r, g, b, op, depth, radius, pad..."""
+    """[N, 16]: mx, my, ca, cb, cc, r, g, b, op, depth, ex, ey, pad..."""
     depths = jnp.where(jnp.isfinite(proj.depths), proj.depths, 0.0)
     cols = [
         proj.means2d[:, 0], proj.means2d[:, 1],
         proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
         proj.colors[:, 0], proj.colors[:, 1], proj.colors[:, 2],
         proj.opacities, depths,
-        proj.radii.astype(proj.means2d.dtype),
+        proj.extents[:, 0], proj.extents[:, 1],
     ]
     n = proj.means2d.shape[0]
     pad = [jnp.zeros((n,), proj.means2d.dtype)] * (ATTRS - len(cols))
@@ -159,15 +159,19 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
     attrs = jnp.take(attrs, order, axis=0)       # single row gather
     valid = jnp.take(valid, order, axis=0)
 
-    # ---- 3. tile spans (CUDA getRect semantics) + O(M) expansion ----------
+    # ---- 3. tile spans (getRect semantics, per-axis tight extents) --------
+    # ex/ey are the exact alpha>=1/255 support bbox (projection.py), so the
+    # rect is tighter than the CUDA reference's isotropic radius square but
+    # covers every tile that can receive a nonzero sample or gradient.
     mx = attrs[:, 0]
     my = attrs[:, 1]
-    r = attrs[:, 10]
-    x0 = jnp.clip(jnp.floor((mx - r) / tile_w), 0, ntx).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((mx + r + tile_w - 1) / tile_w), 0, ntx
+    ex = attrs[:, 10]
+    ey = attrs[:, 11]
+    x0 = jnp.clip(jnp.floor((mx - ex) / tile_w), 0, ntx).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((mx + ex + tile_w - 1) / tile_w), 0, ntx
                   ).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((my - r) / tile_h), 0, nty).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((my + r + tile_h - 1) / tile_h), 0, nty
+    y0 = jnp.clip(jnp.floor((my - ey) / tile_h), 0, nty).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((my + ey + tile_h - 1) / tile_h), 0, nty
                   ).astype(jnp.int32)
     span_x = jnp.maximum(x1 - x0, 0)
     span = jnp.where(valid, span_x * jnp.maximum(y1 - y0, 0), 0)
@@ -216,15 +220,9 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
 
     # ---- 4. stable sort by tile (preserves depth order in ties) ----------
     # multi-operand lax.sort co-sorts src with the keys in one pass —
-    # measurably cheaper than argsort + two random gathers on TPU. The
-    # backward additionally needs the sort permutation, so the residual
-    # path co-sorts an iota payload.
-    if want_res:
-        sorted_tile, sorted_src, perm = jax.lax.sort(
-            (tile_id, src, m), num_keys=1, is_stable=True)
-    else:
-        sorted_tile, sorted_src = jax.lax.sort(
-            (tile_id, src), num_keys=1, is_stable=True)
+    # measurably cheaper than argsort + two random gathers on TPU.
+    sorted_tile, sorted_src = jax.lax.sort(
+        (tile_id, src), num_keys=1, is_stable=True)
 
     # ---- 5. per-tile padded lists -----------------------------------------
     tids = jnp.arange(T, dtype=sorted_tile.dtype)
@@ -261,38 +259,16 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
         return outs, None
 
     # ---- residuals for the custom backward --------------------------------
-    # The backward sorts the COMPACTED [T*K] ent-row cotangents by the slot
-    # each row consumed, then segment-sums per gaussian over contiguous
-    # *kept-rank* ranges. Residuals: the slot index per ent row, the
-    # per-gaussian kept-rank bounds, and the un-depth-sort permutation.
-    #
-    # slot per ent row, via the same contiguous-slice trick as `ent`:
-    # sorted positions of tile t are [starts[t], starts[t]+cnt) and perm
-    # maps sorted position -> slot. Pad rows (k >= cnt) get sentinel M.
-    perm_pad = jnp.concatenate([perm, jnp.full((K,), M, jnp.int32)])
-    s_flat = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(perm_pad, (s,), (K,)))(
-            jnp.minimum(starts, M))                       # [T, K]
-    kk = jnp.arange(K, dtype=jnp.int32)[None, :]
-    s_flat = jnp.where(kk < counts[:, None], s_flat, M).reshape(-1)
-    # kept-rank of a slot boundary x = #kept slots < x. kept(p) in sorted
-    # space is cheap (within-run rank < K); one payload sort routes it to
-    # slot order, an int cumsum turns it into ranks.
-    change = jnp.concatenate([
-        jnp.ones((1,), jnp.bool_), sorted_tile[1:] != sorted_tile[:-1]])
-    run_start = jax.lax.cummax(jnp.where(change, m, 0))
-    kept_p = ((sorted_tile < T) & ((m - run_start) < K)).astype(jnp.int32)
-    _, kept_slot = jax.lax.sort((perm, kept_p), num_keys=1, is_stable=True)
-    kp = jnp.cumsum(kept_slot)                            # inclusive
-    # per-(depth-sorted)-gaussian contiguous slot segments -> kept ranks
-    seg_lo = jnp.clip(offs, 0, M)
-    seg_hi = jnp.clip(offs + span, 0, M)
-    klo = jnp.where(seg_lo > 0, jnp.take(kp, jnp.maximum(seg_lo - 1, 0)), 0)
-    khi = jnp.where(seg_hi > 0, jnp.take(kp, jnp.maximum(seg_hi - 1, 0)), 0)
-    # un-depth-sort permutation
+    # The backward sorts the COMPACTED [T*K] ent-row cotangents by the
+    # depth-rank of the gaussian each row came from (csrc — already built
+    # for the ent gather, so the residual is free), then segment-sums with
+    # a cumsum + boundary difference. Pad rows (k >= count) alias the next
+    # tile's gaussians but carry exactly-zero cotangents from every blend
+    # backend (the evalid gate), so no masking is needed — they add zeros
+    # into some other gaussian's segment.
     iota_n = jnp.arange(N, dtype=jnp.int32)
     _, inv_order = jax.lax.sort((order, iota_n), num_keys=1, is_stable=True)
-    return outs, (s_flat, klo, khi, inv_order)
+    return outs, (csrc, inv_order)
 
 
 def _make_binning_vjp(height, width, tile_h, tile_w, max_per_tile,
@@ -309,33 +285,46 @@ def _make_binning_vjp(height, width, tile_h, tile_w, max_per_tile,
         return outs, res
 
     def bwd(res, cts):
-        s_flat, klo, khi, inv_order = res
+        csrc, inv_order = res
         d_ent = cts[0]                                    # [T, K, 10]
         A = d_ent.shape[-1]
-        TK = s_flat.shape[0]
-        # Route entry cotangents to slot order with ONE multi-payload sort
-        # over the compacted [T*K] rows (~194 ms for 11 operands at 16M on
-        # v5e, ~half that at 8.35M) instead of a random row gather (~370 ms:
-        # TPU gathers from HBM-resident tables cost ~25 ns per index).
-        # Non-kept rows carry sentinel key M and zero cotangent -> tail.
+        n = inv_order.shape[0]
+        key = csrc.reshape(-1)
+        TK = key.shape[0]
+        # Route entry cotangents to per-gaussian groups with ONE
+        # multi-payload sort over the compacted [T*K] rows instead of a
+        # random row gather (TPU gathers from HBM-resident tables cost
+        # ~8 ns per index) or XLA's serial scatter-add.
         d_flat = d_ent.reshape(TK, A)
         outs_s = jax.lax.sort(
-            (s_flat,) + tuple(d_flat[:, i] for i in range(A)),
+            (key,) + tuple(d_flat[:, i] for i in range(A)),
             num_keys=1, is_stable=True)
-        d_srt = jnp.stack(outs_s[1:], axis=-1)            # [TK, A]
-        # contiguous per-gaussian kept-rank segments: cumsum + boundary
-        # difference. f32 rounding of the running sum is the only divergence
-        # from the exact scatter-add (error ~ eps·log2(TK)·|prefix|,
-        # negligible vs the stochastic densify threshold this feeds).
-        c = jnp.cumsum(d_srt, axis=0)
-        hi = jnp.take(c, jnp.clip(khi - 1, 0, TK - 1), axis=0)
-        lo = jnp.where((klo > 0)[:, None],
-                       jnp.take(c, jnp.clip(klo - 1, 0, TK - 1), axis=0),
-                       0.0)
-        d_sorted = jnp.where((khi > klo)[:, None], hi - lo, 0.0)
+        skey = outs_s[0]
+        # per-gaussian segment boundaries in the sorted order: last
+        # position+1 per key via a scatter-max over the (sorted) keys,
+        # forward-filled so empty gaussians get zero-width segments
+        pos1 = jnp.arange(1, TK + 1, dtype=jnp.int32)
+        khi = jax.lax.cummax(
+            jnp.zeros((n,), jnp.int32).at[skey].max(pos1))
+        klo = jnp.concatenate([jnp.zeros((1,), jnp.int32), khi[:-1]])
+        # contiguous per-gaussian segments: 1-D column cumsums + boundary
+        # difference (1-D cumsums are ~free on TPU; the 2-D layout is not).
+        # f32 rounding of the running sum is the only divergence from the
+        # exact scatter-add (error ~ eps·log2(TK)·|prefix|, negligible vs
+        # the stochastic densify threshold this feeds).
+        ok = (khi > klo)[:, None]
+        hi_i = jnp.maximum(khi - 1, 0)
+        lo_i = jnp.maximum(klo - 1, 0)
+        # 1-D per-column cumsums (~free on TPU vs the 2-D layout), restacked
+        # once so the boundary lookups are two row-gathers (gathers cost per
+        # *index*: 2 x n beats 2 x A x n element-gathers by ~10x)
+        c = jnp.stack([jnp.cumsum(outs_s[1 + i]) for i in range(A)],
+                      axis=-1)                            # [TK, A]
+        h = jnp.take(c, hi_i, axis=0)
+        lo = jnp.where((klo > 0)[:, None], jnp.take(c, lo_i, axis=0), 0.0)
+        d_sorted = jnp.where(ok, h - lo, 0.0)             # [n, A]
         d_attrs10 = jnp.take(d_sorted, inv_order, axis=0)  # un-depth-sort
         d_attrs = jnp.pad(d_attrs10, ((0, 0), (0, ATTRS - A)))
-        n = inv_order.shape[0]
         d_valid = np.zeros((n,), jax.dtypes.float0)
         # order is non-differentiable; attrs carries the grad-relevant depth
         d_depths = jnp.zeros((n,), d_attrs.dtype)

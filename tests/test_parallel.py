@@ -25,8 +25,20 @@ def make_segment(seed, n=64, cap=128):
     rng = np.random.default_rng(seed)
     pts = rng.standard_normal((n, 3)).astype(np.float32) * 0.4
     pts[:, 2] += 3.0
-    return G.create_from_pcd(pts, rng.random((n, 3)).astype(np.float32),
-                             capacity=cap)
+    state = G.create_from_pcd(pts, rng.random((n, 3)).astype(np.float32),
+                              capacity=cap)
+    # Anisotropic scales + off-identity quats: create_from_pcd's isotropic
+    # init makes the rotation unidentifiable (quat grad == 0 up to fp
+    # noise), and with Adam eps=1e-15 the first step is ±lr·sign(noise) —
+    # the exact-match assertions below would then compare amplified
+    # summation-order noise between the sharded and single-device paths.
+    q = np.tile([0.1, -0.05, 0.08, 1.0], (cap, 1)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return dataclasses.replace(
+        state,
+        log_scales=state.log_scales + jnp.asarray(
+            rng.normal(0.0, 0.4, (cap, 3)).astype(np.float32)),
+        quats=jnp.asarray(q))
 
 
 def test_sharded_step_runs_and_learns():
