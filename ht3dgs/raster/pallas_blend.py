@@ -25,19 +25,21 @@ Kernel structure (v3, per pallas_guide.md):
 - early-out: a chunk is skipped entirely once every tile in the block is
   past its entry count or every pixel is done.
 
-Backward: analytic VJP in two forward-ordered passes (no reverse scan, no
-rematerialization stack). Per pixel, with front-to-back weights
+Backward: analytic VJP. Per pixel, with front-to-back weights
 w_i = alpha_i * T_i:
 
     dL/dalpha_i = T_i (a_i . dA) - [ sum_{j>i} w_j (a_j . dA)
                                      + T_fin * dT ] / (1 - alpha_i)
     dL/da_i     = w_i * dA
 
-Pass A accumulates the total S = sum_j w_j (a_j . dA); pass B replays the
-forward turning prefix sums into suffixes and emits per-entry gradients.
-Both passes run as Pallas kernels (grid/layout identical to the forward);
-a jnp twin (`_blend_bwd_analytic`) is the interpretable oracle, verified
-against JAX AD of the scan blend in tests/test_analytic_bwd.py.
+The Pallas backward is a SINGLE back-to-front pass (the CUDA kernel's
+replay): the forward additionally records each pixel's kept-entry count
+(`kept` is a prefix over the entry index — t_after monotone, done sticky),
+and the backward reconstructs transmittance downward from T_fin by
+un-multiplying kept (1-alpha) factors while the suffix sum accumulates
+naturally. A jnp twin (`_blend_bwd_analytic`, two forward-ordered passes —
+mathematically identical) is the interpretable oracle, verified against
+JAX AD of the scan blend in tests/test_analytic_bwd.py.
 """
 
 from __future__ import annotations
@@ -54,7 +56,7 @@ from .projection import ALPHA_MAX, ALPHA_MIN, T_EPS
 ATTRS = 16    # packed row: mx,my,ca,cb,cc,r,g,b,op,depth,radius,pad...
 TB = 8        # tiles per program
 C_STEP = 64   # entries per grid step (per tile)
-OUT_ROWS = 8  # r,g,b,depth,Tfinal,done,pad,pad
+OUT_ROWS = 8  # r,g,b,depth,Tfinal,done,ncon,pad
 
 
 # --------------------------------------------------------------------------
@@ -118,7 +120,9 @@ def _chunk_core(blk, pxv, pyv, n_vec, base, cumprod1):
     gate = (power <= 0.0) & (alpha >= ALPHA_MIN) & evalid
     alpha = jnp.where(gate, alpha, 0.0)
     one_minus = 1.0 - alpha
-    t_within = cumprod1(one_minus)              # inclusive, within chunk
+    # cumprod1=None skips the scan (the one-pass backward re-masks by the
+    # kept prefix and runs its own)
+    t_within = None if cumprod1 is None else cumprod1(one_minus)
     return alpha, one_minus, t_within, (dx, dy, power, raw, gate)
 
 
@@ -193,11 +197,17 @@ def _blend_fwd_kernel(meta_ref, aux_ref, ent_ref, out_ref, acc_ref, *,
         alpha, _, t_within, _ = _chunk_core(
             blk, aux_ref[:, 0:1, :], aux_ref[:, 1:2, :], aux_ref[:, 2:3, :],
             c * C_STEP, _sublane_cumprod)
-        w, _, _, tbuf2, done2 = _chunk_weights(alpha, t_within, tbuf, done)
+        w, kept, _, tbuf2, done2 = _chunk_weights(alpha, t_within, tbuf,
+                                                  done)
         attr_t = jnp.swapaxes(_attr_cols(blk), 1, 2)        # [TB, 4, C]
         acc_ref[:, 0:4, :] = acc_ref[:, 0:4, :] + _bdot(attr_t, w, 2, 1)
         acc_ref[:, 4:5, :] = tbuf2
         acc_ref[:, 5:6, :] = done2
+        # kept-count (CUDA last_contributor): `kept` is a prefix over the
+        # entry index per pixel (t_after monotone, done sticky), so the
+        # count alone reconstructs the gating for the one-pass backward
+        acc_ref[:, 6:7, :] = acc_ref[:, 6:7, :] + jnp.sum(
+            kept.astype(jnp.float32), axis=1, keepdims=True)
 
     @pl.when(c == n_chunks - 1)
     def _():
@@ -223,10 +233,10 @@ def _make_aux(meta, Tp, P, tile_w):
     return jnp.stack([px, py, cnt] + [jnp.zeros_like(px)] * 5, axis=1)
 
 
-def blend_tiles_pallas(ent: jax.Array, meta: jax.Array, *, tile_h: int,
-                       tile_w: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """ent: [T, K, ATTRS] packed entries; meta: [T, 4] int32 (count,
-    origin_x, origin_y, pad). Returns (rgb [T,P,3], T_buf [T,P], dep [T,P])."""
+def _blend_tiles_pallas_raw(ent: jax.Array, meta: jax.Array, *, tile_h: int,
+                            tile_w: int):
+    """Runs the forward kernel; returns (rgb [T,P,3], T_buf [T,P],
+    dep [T,P], ncon [T,P] kept-entry count)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -260,83 +270,61 @@ def blend_tiles_pallas(ent: jax.Array, meta: jax.Array, *, tile_h: int,
     rgb = jnp.moveaxis(out[:, 0:3, :], 1, 2)   # [T, P, 3]
     dep = out[:, 3, :]
     tbuf = out[:, 4, :]
+    ncon = out[:, 6, :]
+    return rgb, tbuf, dep, ncon
+
+
+def blend_tiles_pallas(ent: jax.Array, meta: jax.Array, *, tile_h: int,
+                       tile_w: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """ent: [T, K, ATTRS] packed entries; meta: [T, 4] int32 (count,
+    origin_x, origin_y, pad). Returns (rgb [T,P,3], T_buf [T,P], dep [T,P])."""
+    rgb, tbuf, dep, _ = _blend_tiles_pallas_raw(ent, meta, tile_h=tile_h,
+                                                tile_w=tile_w)
     return rgb, tbuf, dep
 
 
 # --------------------------------------------------------------------------
-# Pallas backward kernels (analytic two-pass suffix form)
+# Pallas backward kernel (single-pass, back-to-front replay)
 
-def _bwd_passA_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
-                      *, P: int, n_chunks: int):
-    """Accumulate S = sum_j w_j (a_j . dA) per pixel.
+def _bwd_onepass_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
+                        *, P: int, n_chunks: int):
+    """One reversed sweep over the entry chunks (the CUDA backward's
+    back-to-front replay): transmittance is reconstructed downward from
+    T_fin by un-multiplying each kept entry's (1-alpha), and the suffix
+    sum S_after = sum_{j>i} w_j (a_j . dA) accumulates naturally — no
+    pass-A prefix total needed.
 
-    dg_ref [TB, 8, P]: rows 0-2 d_rgb, 3 d_depth. out_ref [TB, 8, P] row 0 =
-    S. acc_ref scratch rows: 0 S, 1 tbuf, 2 done."""
-    from jax.experimental import pallas as pl
+    Gating: `kept` in the forward is a prefix over the entry index per
+    pixel (t_after is monotone non-increasing and `done` is sticky), so
+    the forward's kept-count ncon fully reconstructs it: kept(i) = i < ncon.
+    Within a chunk, products of kept (1-alpha) are bounded below by
+    T_fin/T_enter >= T_EPS * (1-ALPHA_MAX), so the divisions never
+    underflow (same argument as the CUDA kernel's T /= (1-alpha)).
 
-    i = pl.program_id(0)
-    c = pl.program_id(1)
-
-    @pl.when(c == 0)
-    def _():
-        acc_ref[:, 0:1, :] = jnp.zeros((TB, 1, P), jnp.float32)
-        acc_ref[:, 1:2, :] = jnp.ones((TB, 1, P), jnp.float32)
-        acc_ref[:, 2:3, :] = jnp.zeros((TB, 1, P), jnp.float32)
-
-    max_n = meta_ref[4 * (i * TB)]
-    for j in range(1, TB):
-        max_n = jnp.maximum(max_n, meta_ref[4 * (i * TB + j)])
-
-    tbuf = acc_ref[:, 1:2, :]
-    done = acc_ref[:, 2:3, :]
-    live = (c * C_STEP < max_n) & \
-        (jnp.max(jnp.where(done < 0.5, tbuf, 0.0)) >= T_EPS)
-
-    @pl.when(live)
-    def _():
-        blk = ent_ref[:, :, :]
-        alpha, _, t_within, _ = _chunk_core(
-            blk, aux_ref[:, 0:1, :], aux_ref[:, 1:2, :], aux_ref[:, 2:3, :],
-            c * C_STEP, _sublane_cumprod)
-        w, _, _, tbuf2, done2 = _chunk_weights(alpha, t_within, tbuf, done)
-        a_dot = _bdot(_attr_cols(blk), dg_ref[:, 0:4, :], 2, 1)  # [TB,C,P]
-        acc_ref[:, 0:1, :] = acc_ref[:, 0:1, :] + \
-            jnp.sum(w * a_dot, axis=1, keepdims=True)
-        acc_ref[:, 1:2, :] = tbuf2
-        acc_ref[:, 2:3, :] = done2
-
-    @pl.when(c == n_chunks - 1)
-    def _():
-        out_ref[:, 0:1, :] = acc_ref[:, 0:1, :]
-        out_ref[:, 1:8, :] = jnp.zeros((TB, 7, P), jnp.float32)
-
-
-def _bwd_passB_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
-                      *, P: int, n_chunks: int):
-    """Emit per-entry gradients, converting prefix sums to suffixes.
-
+    Grid (T/TB, K/C_STEP) with the chunk axis index-mapped in REVERSE.
     dg_ref [TB, 8, P]: rows 0-2 d_rgb, 3 d_depth, 4 tail (= T_fin * dT),
-    5 S (pass A total). out_ref [TB, C_STEP, ATTRS] gradient block for this
-    (tile-block, chunk). acc_ref scratch rows: 0 prefix, 1 tbuf, 2 done."""
+    5 ncon. out_ref [TB, C_STEP, ATTRS] gradient block for this
+    (tile-block, chunk). acc_ref scratch rows: 0 suffix S_after, 1 T_exit
+    (transmittance after this chunk's kept entries)."""
     from jax.experimental import pallas as pl
 
     i = pl.program_id(0)
-    c = pl.program_id(1)
+    cr = pl.program_id(1)
+    c = n_chunks - 1 - cr                  # actual chunk index (reversed)
 
-    @pl.when(c == 0)
+    @pl.when(cr == 0)
     def _():
         acc_ref[:, 0:1, :] = jnp.zeros((TB, 1, P), jnp.float32)
-        acc_ref[:, 1:2, :] = jnp.ones((TB, 1, P), jnp.float32)
-        acc_ref[:, 2:3, :] = jnp.zeros((TB, 1, P), jnp.float32)
+        acc_ref[:, 1:2, :] = dg_ref[:, 6:7, :]       # T_fin
 
     max_n = meta_ref[4 * (i * TB)]
     for j in range(1, TB):
         max_n = jnp.maximum(max_n, meta_ref[4 * (i * TB + j)])
 
-    tbuf = acc_ref[:, 1:2, :]
-    done = acc_ref[:, 2:3, :]
-    live = (c * C_STEP < max_n) & \
-        (jnp.max(jnp.where(done < 0.5, tbuf, 0.0)) >= T_EPS)
+    ncon = dg_ref[:, 5:6, :]
+    # a chunk is dead if no tile in the block has entries there, or no
+    # pixel's kept prefix reaches it
+    live = (c * C_STEP < max_n) & (jnp.max(ncon) > c * C_STEP)
 
     # dead chunks have all-zero weights hence all-zero gradients
     out_ref[:, :, :] = jnp.zeros((TB, C_STEP, ATTRS), jnp.float32)
@@ -344,19 +332,31 @@ def _bwd_passB_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
     @pl.when(live)
     def _():
         blk = ent_ref[:, :, :]
-        alpha, one_minus, t_within, res = _chunk_core(
+        C = blk.shape[1]
+        alpha, one_minus, _, res = _chunk_core(
             blk, aux_ref[:, 0:1, :], aux_ref[:, 1:2, :], aux_ref[:, 2:3, :],
-            c * C_STEP, _sublane_cumprod)
+            c * C_STEP, None)
         dx, dy, power, raw, gate = res
-        w, kept, t_excl, tbuf2, done2 = _chunk_weights(
-            alpha, t_within, tbuf, done)
+        idxv = (c * C_STEP + jax.lax.broadcasted_iota(
+            jnp.int32, (1, C, 1), 1)).astype(jnp.float32)
+        ki = idxv < ncon                                    # kept prefix
+        r = jnp.where(ki, one_minus, 1.0)
+        p_inc = _sublane_cumprod(r)                         # [TB, C, P]
+        p_exc = jnp.concatenate(
+            [jnp.ones_like(p_inc[:, :1, :]), p_inc[:, :-1, :]], axis=1)
+        p_tot = p_inc[:, -1:, :]                            # >= T_EPS*0.01
+        t_exit = acc_ref[:, 1:2, :]
+        t_enter = t_exit / p_tot
+        t_excl = t_enter * p_exc                            # T before entry
+        w = jnp.where(ki, alpha, 0.0) * t_excl
+
         dA = dg_ref[:, 0:4, :]
         a_dot = _bdot(_attr_cols(blk), dA, 2, 1)            # [TB, C, P]
         contrib = w * a_dot
-        s_incl = acc_ref[:, 0:1, :] + _sublane_cumsum(contrib)
-        suffix = dg_ref[:, 5:6, :] - s_incl                 # sum_{j>i}
+        s_incl = _sublane_cumsum(contrib)
+        suffix = acc_ref[:, 0:1, :] + (s_incl[:, -1:, :] - s_incl)
         d_alpha = jnp.where(
-            kept,
+            ki,
             t_excl * a_dot - (suffix + dg_ref[:, 4:5, :]) / one_minus,
             0.0)
         d_raw = jnp.where(gate & (raw < ALPHA_MAX), d_alpha, 0.0)
@@ -382,13 +382,13 @@ def _bwd_passB_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
             [d_mx, d_my, d_ca, d_cb, d_cc, d_a[:, :, 0:3], d_op,
              d_a[:, :, 3:4], zeros], axis=2)
 
-        acc_ref[:, 0:1, :] = s_incl[:, -1:, :]
-        acc_ref[:, 1:2, :] = tbuf2
-        acc_ref[:, 2:3, :] = done2
+        acc_ref[:, 0:1, :] = acc_ref[:, 0:1, :] + s_incl[:, -1:, :]
+        acc_ref[:, 1:2, :] = t_enter
 
 
-def _blend_bwd_pallas(ent, meta, tbuf_out, cts, *, tile_h: int, tile_w: int):
-    """Pallas two-pass analytic backward. Returns d_ent [T, K, ATTRS]."""
+def _blend_bwd_pallas(ent, meta, tbuf_out, ncon, cts, *, tile_h: int,
+                      tile_w: int):
+    """Pallas single-pass analytic backward. Returns d_ent [T, K, ATTRS]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -404,51 +404,36 @@ def _blend_bwd_pallas(ent, meta, tbuf_out, cts, *, tile_h: int, tile_w: int):
 
     dA = jnp.concatenate(
         [jnp.moveaxis(padT(d_rgb), 2, 1), padT(d_dep)[:, None, :]], axis=1)
-    tail = (padT(tbuf_out) * padT(d_tbuf))[:, None, :]      # [Tp, 1, P]
+    tbuf_p = padT(tbuf_out)[:, None, :]
+    tail = tbuf_p * padT(d_tbuf)[:, None, :]                # [Tp, 1, P]
+    ncon_p = padT(ncon)[:, None, :]
 
-    zrow = jnp.zeros((Tp, 1, P), jnp.float32)
-    dg_a = jnp.concatenate([dA, zrow, zrow, zrow, zrow], axis=1)
+    dg = jnp.concatenate([dA, tail, ncon_p, tbuf_p,
+                          jnp.zeros((Tp, 1, P), jnp.float32)], axis=1)
 
-    def spec_common():
-        return [
-            pl.BlockSpec((TB, 8, P), lambda i, c, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, C_STEP, ATTRS), lambda i, c, *_: (i, c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 8, P), lambda i, c, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-
-    gridA = pltpu.PrefetchScalarGridSpec(
+    nc = n_chunks
+    grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Tp // TB, n_chunks),
-        in_specs=spec_common(),
-        out_specs=pl.BlockSpec((TB, 8, P), lambda i, c, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TB, 8, P), jnp.float32)],
-    )
-    sA = pl.pallas_call(
-        functools.partial(_bwd_passA_kernel, P=P, n_chunks=n_chunks),
-        grid_spec=gridA,
-        out_shape=jax.ShapeDtypeStruct((Tp, 8, P), jnp.float32),
-    )(meta.reshape(-1), aux, ent, dg_a)
-    s_total = sA[:, 0:1, :]                                 # [Tp, 1, P]
-
-    dg_b = jnp.concatenate([dA, tail, s_total, zrow, zrow], axis=1)
-    gridB = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(Tp // TB, n_chunks),
-        in_specs=spec_common(),
+        in_specs=[
+            pl.BlockSpec((TB, 8, P), lambda i, c, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, C_STEP, ATTRS),
+                         lambda i, c, *_: (i, nc - 1 - c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 8, P), lambda i, c, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((TB, C_STEP, ATTRS),
-                               lambda i, c, *_: (i, c, 0),
+                               lambda i, c, *_: (i, nc - 1 - c, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((TB, 8, P), jnp.float32)],
     )
     d_ent = pl.pallas_call(
-        functools.partial(_bwd_passB_kernel, P=P, n_chunks=n_chunks),
-        grid_spec=gridB,
+        functools.partial(_bwd_onepass_kernel, P=P, n_chunks=n_chunks),
+        grid_spec=grid,
         out_shape=jax.ShapeDtypeStruct((Tp, Kp, ATTRS), jnp.float32),
-    )(meta.reshape(-1), aux, ent, dg_b)
+    )(meta.reshape(-1), aux, ent, dg)
     return d_ent[:T, :K, :A]
 
 
@@ -646,13 +631,18 @@ def _make_blend_vjp(tile_h: int, tile_w: int, forward: str, backward: str):
         return _jnp_blend_from_ent(ent, meta, tile_h=tile_h, tile_w=tile_w)
 
     def fwd(ent, meta):
+        if forward == "pallas":
+            rgb, tbuf, dep, ncon = _blend_tiles_pallas_raw(
+                ent, meta, tile_h=tile_h, tile_w=tile_w)
+            # save T_fin (tail) + kept-count (one-pass backward gating)
+            return (rgb, tbuf, dep), (ent, meta, tbuf, ncon)
         out = blend(ent, meta)
-        return out, (ent, meta, out[1])         # save T_fin for the tail
+        return out, (ent, meta, out[1], None)
 
     def bwd(res, cts):
-        ent, meta, tbuf_out = res
+        ent, meta, tbuf_out, ncon = res
         if backward == "pallas":
-            d_ent = _blend_bwd_pallas(ent, meta, tbuf_out, cts,
+            d_ent = _blend_bwd_pallas(ent, meta, tbuf_out, ncon, cts,
                                       tile_h=tile_h, tile_w=tile_w)
         else:
             d_ent = _blend_bwd_analytic(ent, meta, tbuf_out, cts,

@@ -176,11 +176,15 @@ def project(
     # a cap: the reference drops the alpha>=1/255 tail beyond 3 sigma for
     # near-opaque Gaussians, and `radii` stays the densification metric).
     # +1 px guards the floor/ceil tile rounding at tiny extents.
+    # stop_gradient: extents only gate DISCRETE tile-rect decisions (no
+    # continuous dependence), and sqrt has an inf-gradient at 0 (opacity at
+    # the 1/255 cutoff makes lvl2 exactly 0) — 0-cotangent x inf = NaN
+    # would otherwise poison every parameter gradient via the pack VJP.
     lvl2 = 2.0 * jnp.maximum(jnp.log(255.0 * jnp.maximum(opacities, 1e-9)),
                              0.0)
     ex = jnp.minimum(jnp.sqrt(lvl2 * jnp.maximum(c00, 0.0)), radius_f) + 1.0
     ey = jnp.minimum(jnp.sqrt(lvl2 * jnp.maximum(c11, 0.0)), radius_f) + 1.0
-    extents = jnp.stack([ex, ey], axis=-1)
+    extents = jax.lax.stop_gradient(jnp.stack([ex, ey], axis=-1))
 
     in_front = depths > NEAR_CULL
     ok = in_front & (det > 0.0) & live

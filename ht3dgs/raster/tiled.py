@@ -8,12 +8,13 @@ fixed-capacity expansion, engineered around TPU's strengths/weaknesses
 not — measured on v5e):
 
 1. pack all per-Gaussian attributes into one [N, 16] row table (means2d,
-   conic, color, opacity, depth, radius, valid) so every later reorder is a
-   single contiguous row gather;
+   conic, color, opacity, depth, tight per-axis extents) so every later
+   reorder is a single contiguous row gather;
 2. depth-sort once (argsort over N);
 3. compute tile-bbox spans + exclusive cumsum; expand into `M = dup_factor·N`
    entry slots — slot→gaussian mapping via a boundary scatter-max +
-   cummax (O(M), no searchsorted over M);
+   blocked forward-fill (O(M), no searchsorted over M), carrying ORIGINAL
+   row ids so nothing downstream ever un-sorts;
 4. *stable* argsort entries by tile id (stability preserves the global depth
    order within each tile, exactly reproducing the CUDA (tile|depth) sort);
 5. per-tile segments located by a tiny searchsorted (T queries), padded to
@@ -130,12 +131,12 @@ def build_tile_lists_from_rows(
     binning is a per-Gaussian segment-sum of entry cotangents, which XLA
     would execute as a serial scatter-add (~680 ms at 1M Gaussians / 1080p
     on v5e). The custom backward instead routes the compacted [T*K] entry
-    cotangents to expansion-slot order with ONE multi-payload lax.sort
-    (key = consumed slot, precomputed in the forward), segment-sums per
-    Gaussian with a cumsum + boundary-difference over contiguous kept-rank
-    ranges, and un-sorts — ~5x faster, identical up to f32 cumsum
-    rounding."""
-    key = (height, width, tile_h, tile_w, max_per_tile, dup_factor)
+    cotangents to per-gaussian groups with ONE multi-payload lax.sort
+    (key = the original gaussian id of each entry, free from the forward's
+    slice) and segment-sums with a cumsum + boundary difference — several
+    times faster, identical up to f32 cumsum rounding."""
+    key = (height, width, tile_h, tile_w, max_per_tile, dup_factor,
+           attrs.shape[0])
     if key not in _BINNING_CACHE:
         _BINNING_CACHE[key] = _make_binning_vjp(*key)
     return _BINNING_CACHE[key](attrs, valid, depths)
@@ -154,15 +155,17 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
     T = ntx * nty
     M = N * dup_factor
 
-    # ---- 1-2. depth order --------------------------------------------------
-    order = jnp.argsort(depths).astype(jnp.int32)  # invalid (+inf) -> last
-    attrs = jnp.take(attrs, order, axis=0)       # single row gather
-    valid = jnp.take(valid, order, axis=0)
-
-    # ---- 3. tile spans (getRect semantics, per-axis tight extents) --------
+    # ---- 1-3. tile spans (getRect semantics, per-axis tight extents) ------
     # ex/ey are the exact alpha>=1/255 support bbox (projection.py), so the
     # rect is tighter than the CUDA reference's isotropic radius square but
     # covers every tile that can receive a nonzero sample or gradient.
+    # Spans/geometry are computed in ORIGINAL row order (cheap elementwise),
+    # then only the two ints the expansion needs are routed through the
+    # depth order with one packed pair-table gather — gathers cost per
+    # *index*, so one [N,2] row take beats taking the [N,16] attr rows plus
+    # the valid column (and the attr table stays unsorted, which makes the
+    # stage-5 gather and the whole backward original-indexed: no
+    # un-depth-sort permutation anywhere).
     mx = attrs[:, 0]
     my = attrs[:, 1]
     ex = attrs[:, 10]
@@ -174,37 +177,49 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
     y1 = jnp.clip(jnp.floor((my + ey + tile_h - 1) / tile_h), 0, nty
                   ).astype(jnp.int32)
     span_x = jnp.maximum(x1 - x0, 0)
-    span = jnp.where(valid, span_x * jnp.maximum(y1 - y0, 0), 0)
+    span0 = jnp.where(valid, span_x * jnp.maximum(y1 - y0, 0), 0)
+
+    bits = max(int(ntx).bit_length(), int(nty).bit_length())
+    assert 3 * bits <= 27, f"tile grid {ntx}x{nty} overflows payload packing"
+    # span_x >= 1 wherever span0 > 0, so the packed payload is nonzero there
+    packed0 = (((x0 << bits) | y0) << bits) | span_x
+
+    order = jnp.argsort(depths).astype(jnp.int32)  # invalid (+inf) -> last
+    pair = jnp.take(jnp.stack([packed0, span0], axis=-1), order, axis=0)
+    packed_d = pair[:, 0]
+    span = pair[:, 1]
 
     offs = jnp.cumsum(span) - span          # exclusive
     total = offs[-1] + span[-1]
 
     # slot -> source gaussian: scatter each segment start into its slot and
-    # forward-fill with a cumulative max (gather-free, O(M))
+    # forward-fill (gather-free, O(M)). The scattered value is the ORIGINAL
+    # row id (order[g]+1) — NOT monotone along slots, so the fill is the
+    # blocked _seg_ffill rather than a plain cummax — which makes every
+    # downstream consumer (ent gather, backward segment sums) index the
+    # unsorted attr table directly: no un-depth-sort permutation anywhere.
+    pb = max(int(N).bit_length(), 1)
+    assert pb <= 27, f"capacity {N} overflows the ffill payload"
     has = (span > 0) & (offs < M)
     tgt = jnp.where(has, offs, M - 1)
-    seg_mark = jnp.zeros((M,), jnp.int32).at[tgt].max(
-        jnp.where(has, jnp.arange(N, dtype=jnp.int32) + 1, 0))
-    src = jnp.clip(jax.lax.cummax(seg_mark) - 1, 0, N - 1)
+    src = jnp.clip(_seg_ffill(
+        jnp.zeros((M,), jnp.int32).at[tgt].max(
+            jnp.where(has, order + 1, 0)), pb) - 1, 0, N - 1)
 
     # per-entry tile geometry, gather-free: forward-fill (x0, y0, span_x)
     # bit-packed into one payload (each < 2^bits; 3*bits <= 27 holds to ~8K
-    # resolutions) from each segment start via the blocked-cummax fill, and
-    # the segment-start slot via one plain cummax (offs is monotone). The
-    # previous formulation gathered a [N,4] geo table at every slot — TPU
-    # gathers cost ~7.5 ns *per index*, 108 ms at the 1M/1080p bench
-    # workload; the fills are ~4x cheaper.
-    bits = max(int(ntx).bit_length(), int(nty).bit_length())
-    assert 3 * bits <= 27, f"tile grid {ntx}x{nty} overflows payload packing"
-    # span_x >= 1 wherever `has` (span>0 needs span_x>0), so payload != 0
-    packed = (((x0 << bits) | y0) << bits) | span_x
-    pos_ff = jax.lax.cummax(jnp.zeros((M,), jnp.int32).at[tgt].max(
-        jnp.where(has, offs + 1, 0)))
+    # resolutions) from each segment start via the blocked-cummax fill. The
+    # segment-start slot needs no scatter of its own: adjacent segments
+    # always belong to different gaussians (each appears once in the depth
+    # order), so starts are exactly the src transitions.
     pay_ff = _seg_ffill(
-        jnp.zeros((M,), jnp.int32).at[tgt].max(jnp.where(has, packed, 0)),
+        jnp.zeros((M,), jnp.int32).at[tgt].max(jnp.where(has, packed_d, 0)),
         3 * bits)
 
     m = jnp.arange(M, dtype=jnp.int32)
+    chg = src != jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), src[:-1]])
+    pos_ff = jax.lax.cummax(jnp.where(chg, m + 1, 0))
     local = m - (pos_ff - 1)
     mask = (1 << bits) - 1
     sx = jnp.maximum(pay_ff & mask, 1)
@@ -260,19 +275,17 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
 
     # ---- residuals for the custom backward --------------------------------
     # The backward sorts the COMPACTED [T*K] ent-row cotangents by the
-    # depth-rank of the gaussian each row came from (csrc — already built
-    # for the ent gather, so the residual is free), then segment-sums with
-    # a cumsum + boundary difference. Pad rows (k >= count) alias the next
-    # tile's gaussians but carry exactly-zero cotangents from every blend
-    # backend (the evalid gate), so no masking is needed — they add zeros
-    # into some other gaussian's segment.
-    iota_n = jnp.arange(N, dtype=jnp.int32)
-    _, inv_order = jax.lax.sort((order, iota_n), num_keys=1, is_stable=True)
-    return outs, (csrc, inv_order)
+    # ORIGINAL row id of the gaussian each row came from (csrc — already
+    # built for the ent gather, so the residual is free), then segment-sums
+    # with a cumsum + boundary difference straight into [N] rows. Pad rows
+    # (k >= count) alias the next tile's gaussians but carry exactly-zero
+    # cotangents from every blend backend (the evalid gate), so no masking
+    # is needed — they add zeros into some other gaussian's segment.
+    return outs, (csrc,)
 
 
 def _make_binning_vjp(height, width, tile_h, tile_w, max_per_tile,
-                      dup_factor):
+                      dup_factor, n_rows):
     args = (height, width, tile_h, tile_w, max_per_tile, dup_factor)
 
     @jax.custom_vjp
@@ -285,27 +298,36 @@ def _make_binning_vjp(height, width, tile_h, tile_w, max_per_tile,
         return outs, res
 
     def bwd(res, cts):
-        csrc, inv_order = res
+        (csrc,) = res
         d_ent = cts[0]                                    # [T, K, 10]
         A = d_ent.shape[-1]
-        n = inv_order.shape[0]
+        n = n_rows
         key = csrc.reshape(-1)
         TK = key.shape[0]
         # Route entry cotangents to per-gaussian groups with ONE
         # multi-payload sort over the compacted [T*K] rows instead of a
         # random row gather (TPU gathers from HBM-resident tables cost
-        # ~8 ns per index) or XLA's serial scatter-add.
+        # ~8 ns per index) or XLA's serial scatter-add. csrc holds ORIGINAL
+        # row ids, so the segment sums land directly in output order.
         d_flat = d_ent.reshape(TK, A)
         outs_s = jax.lax.sort(
             (key,) + tuple(d_flat[:, i] for i in range(A)),
             num_keys=1, is_stable=True)
         skey = outs_s[0]
         # per-gaussian segment boundaries in the sorted order: last
-        # position+1 per key via a scatter-max over the (sorted) keys,
-        # forward-filled so empty gaussians get zero-width segments
+        # position+1 per key. Scatter cost is per *update*, so the updates
+        # are first compacted to the <=n segment-end rows with one cheap
+        # 2-op sort (sentinel-keyed), then scattered from the leading n
+        # rows only (~4x fewer updates than scattering all TK positions).
         pos1 = jnp.arange(1, TK + 1, dtype=jnp.int32)
+        is_end = jnp.concatenate(
+            [skey[1:] != skey[:-1], jnp.ones((1,), jnp.bool_)])
+        key_m = jnp.where(is_end, skey, n)
+        pos_m = jnp.where(is_end, pos1, 0)
+        k2, p2 = jax.lax.sort((key_m, pos_m), num_keys=1, is_stable=True)
+        k2 = jnp.minimum(k2[:n], n - 1)
         khi = jax.lax.cummax(
-            jnp.zeros((n,), jnp.int32).at[skey].max(pos1))
+            jnp.zeros((n,), jnp.int32).at[k2].max(p2[:n]))
         klo = jnp.concatenate([jnp.zeros((1,), jnp.int32), khi[:-1]])
         # contiguous per-gaussian segments: 1-D column cumsums + boundary
         # difference (1-D cumsums are ~free on TPU; the 2-D layout is not).
@@ -314,16 +336,17 @@ def _make_binning_vjp(height, width, tile_h, tile_w, max_per_tile,
         # the stochastic densify threshold this feeds).
         ok = (khi > klo)[:, None]
         hi_i = jnp.maximum(khi - 1, 0)
-        lo_i = jnp.maximum(klo - 1, 0)
         # 1-D per-column cumsums (~free on TPU vs the 2-D layout), restacked
-        # once so the boundary lookups are two row-gathers (gathers cost per
-        # *index*: 2 x n beats 2 x A x n element-gathers by ~10x)
+        # once so the boundary lookup is ONE row-gather (gathers cost per
+        # *index*). The lower boundary needs no gather: klo[g] = khi[g-1],
+        # so c[klo-1] is just the previous gaussian's upper value shifted
+        # down one row (khi is cummax-filled, so the shift is exact even
+        # across empty gaussians).
         c = jnp.stack([jnp.cumsum(outs_s[1 + i]) for i in range(A)],
                       axis=-1)                            # [TK, A]
-        h = jnp.take(c, hi_i, axis=0)
-        lo = jnp.where((klo > 0)[:, None], jnp.take(c, lo_i, axis=0), 0.0)
-        d_sorted = jnp.where(ok, h - lo, 0.0)             # [n, A]
-        d_attrs10 = jnp.take(d_sorted, inv_order, axis=0)  # un-depth-sort
+        h = jnp.where((khi > 0)[:, None], jnp.take(c, hi_i, axis=0), 0.0)
+        lo = jnp.concatenate([jnp.zeros((1, A), h.dtype), h[:-1]], axis=0)
+        d_attrs10 = jnp.where(ok, h - lo, 0.0)            # [n, A]
         d_attrs = jnp.pad(d_attrs10, ((0, 0), (0, ATTRS - A)))
         d_valid = np.zeros((n,), jax.dtypes.float0)
         # order is non-differentiable; attrs carries the grad-relevant depth

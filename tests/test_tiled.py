@@ -95,3 +95,26 @@ def test_tiled_jit_and_probe_grad():
     g = np.asarray(jax.grad(f)(jnp.zeros((state.capacity, 2))))
     assert np.all(np.isfinite(g))
     assert np.abs(g).max() > 0
+
+
+def test_grads_finite_with_subcutoff_opacity():
+    """Opacity at/below the 1/255 alpha cutoff makes the tight-extent level
+    set exactly zero; sqrt's inf-gradient there must not leak NaN into any
+    parameter gradient (extents are stop_gradient'ed — regression for a
+    round-2 bug caught by tools/backend_parity_tpu.py)."""
+    state, cam = make_scene(n=128)
+    logit = np.full((128, 1), -8.0, np.float32)   # sigmoid ~ 3e-4 < 1/255
+    logit[:32] = 0.0                               # keep some visible
+    state = dataclasses.replace(state, opacity_logit=jnp.asarray(logit))
+
+    def loss(means, op, ls):
+        st = dataclasses.replace(state, means=means, opacity_logit=op,
+                                 log_scales=ls)
+        out = render(st, cam, mode="tiled",
+                     tile_args=dict(max_per_tile=128))
+        return jnp.mean(out["image"] ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(
+        state.means, state.opacity_logit, state.log_scales)
+    for arr in g:
+        assert np.all(np.isfinite(np.asarray(arr)))
