@@ -58,44 +58,73 @@ def _one_fit_step(state: GaussianState, opt, camera: Camera, gt, lrs,
     return state.replace_params(new_params), new_opt, psnr(img, gt)
 
 
+# Iterations per device execution. The remote single-chip TPU service
+# (axon) kills its worker when ONE device execution runs longer than
+# roughly a minute (measured: a pure-matmul fori_loop survives at 38 s and
+# crashes at ~75 s; a batched Phase A fit at 288x384 crashed reproducibly
+# past ~40 s — tools/phase_a_repro.py). Long fitting loops therefore run
+# as host-chunked segments of EXEC_CHUNK iterations: semantically
+# identical (the iteration offset threads through the LR schedule and
+# early-stop, and masked iterations freeze the carry), at one dispatch
+# round-trip per chunk.
+EXEC_CHUNK = 100
+
+
 @partial(jax.jit, static_argnames=("mode", "tile_args", "lambda_dssim",
                                    "n_iters", "early_stop"))
-def batched_fit(states, opts, cameras, gts, lr_args, *, mode="auto",
-                tile_args=None, lambda_dssim=0.2, n_iters=1000,
-                early_stop=True):
-    """Fit B local models to their target frames in one compiled loop.
-
-    states/opts/cameras/gts: pytrees with leading B axis.
-    lr_args: (lr_init_xyz [B], lr_final_xyz [B], max_steps, fixed_lrs dict
-    of [B] per-group LRs for the non-xyz groups).
-    """
+def _batched_fit_exec(states, opts, cameras, gts, lr_args, active, it0,
+                      n_total, stop_after, *, mode="auto", tile_args=None,
+                      lambda_dssim=0.2, n_iters=EXEC_CHUNK,
+                      early_stop=True):
     lr_init, lr_final, max_steps, fixed = lr_args
-    B = gts.shape[0]
 
     step = jax.vmap(
         partial(_one_fit_step, mode=mode, tile_args=tile_args,
                 lambda_dssim=lambda_dssim),
         in_axes=(0, 0, 0, 0, 0, 0))
 
-    # match the sequential fallback (hierarchy.fit_single_image): 1-based
-    # iterations for the xyz LR schedule, early stop after
-    # min(500, iterations // 2)
-    stop_after = min(500, n_iters // 2)
-
     def body(it, carry):
         states, opts, active = carry
+        g = it0 + it
+        # match the sequential fallback (hierarchy.fit_single_image):
+        # 1-based iterations for the xyz LR schedule
         xyz_lr = jax.vmap(
-            lambda i, f: adam_lib.expon_lr(it + 1, i, f, max_steps=max_steps)
+            lambda i, f: adam_lib.expon_lr(g + 1, i, f, max_steps=max_steps)
         )(lr_init, lr_final)
         lrs = dict(fixed, means=xyz_lr)
-        states, opts, ps = step(states, opts, cameras, gts, lrs, active)
+        eff = active & (g < n_total)     # pad iterations freeze the carry
+        states, opts, ps = step(states, opts, cameras, gts, lrs, eff)
         if early_stop:
-            active = active & ~((ps > 35.0) & (it + 1 > stop_after))
+            active = active & ~((ps > 35.0) & (g + 1 > stop_after))
         return states, opts, active
 
-    active0 = jnp.ones((B,), bool)
-    states, opts, _ = jax.lax.fori_loop(0, n_iters, body,
-                                        (states, opts, active0))
+    return jax.lax.fori_loop(0, n_iters, body, (states, opts, active))
+
+
+def batched_fit(states, opts, cameras, gts, lr_args, *, mode="auto",
+                tile_args=None, lambda_dssim=0.2, n_iters=1000,
+                early_stop=True, exec_chunk=EXEC_CHUNK):
+    """Fit B local models to their target frames (host-chunked compiled
+    loops — see EXEC_CHUNK).
+
+    states/opts/cameras/gts: pytrees with leading B axis.
+    lr_args: (lr_init_xyz [B], lr_final_xyz [B], max_steps, fixed_lrs dict
+    of [B] per-group LRs for the non-xyz groups).
+    """
+    B = gts.shape[0]
+    active = jnp.ones((B,), bool)
+    # early stop after min(500, iterations // 2), as the sequential path
+    stop_after = jnp.asarray(min(500, n_iters // 2), jnp.int32)
+    n_total = jnp.asarray(n_iters, jnp.int32)
+    chunk = min(exec_chunk, n_iters)
+    it0 = jnp.asarray(0, jnp.int32)
+    for _ in range(-(-n_iters // chunk)):
+        states, opts, active = _batched_fit_exec(
+            states, opts, cameras, gts, lr_args, active, it0, n_total,
+            stop_after, mode=mode, tile_args=tile_args,
+            lambda_dssim=lambda_dssim, n_iters=chunk,
+            early_stop=early_stop)
+        it0 = it0 + chunk
     return states, opts
 
 
@@ -117,14 +146,9 @@ def _one_pose_step(state, delta, base, opt, camera, gt, lr, *,
 
 @partial(jax.jit, static_argnames=("mode", "tile_args", "lambda_dssim",
                                    "n_iters"))
-def batched_pose_fit(states, bases, cameras, gts, lr, *, mode="auto",
-                     tile_args=None, lambda_dssim=0.2, n_iters=300):
-    """Optimize B SE(3) tangents against B frozen models. Returns [B, 6]."""
-    B = gts.shape[0]
-    deltas = jnp.zeros((B, 6), jnp.float32)
-    opts = jax.vmap(lambda _: adam_lib.init(
-        {"pose": jnp.zeros(6, jnp.float32)}))(jnp.arange(B))
-
+def _batched_pose_exec(states, bases, cameras, gts, lr, deltas, opts, it0,
+                       n_total, *, mode="auto", tile_args=None,
+                       lambda_dssim=0.2, n_iters=EXEC_CHUNK):
     step = jax.vmap(
         partial(_one_pose_step, mode=mode, tile_args=tile_args,
                 lambda_dssim=lambda_dssim),
@@ -132,9 +156,35 @@ def batched_pose_fit(states, bases, cameras, gts, lr, *, mode="auto",
 
     def body(it, carry):
         deltas, opts = carry
-        return step(states, deltas, bases, opts, cameras, gts, lr)
+        new_deltas, new_opts = step(states, deltas, bases, opts, cameras,
+                                    gts, lr)
+        live = it0 + it < n_total        # pad iterations freeze the carry
+        deltas = jnp.where(live, new_deltas, deltas)
+        opts = jax.tree.map(lambda n, o: jnp.where(live, n, o),
+                            new_opts, opts)
+        return deltas, opts
 
-    deltas, opts = jax.lax.fori_loop(0, n_iters, body, (deltas, opts))
+    return jax.lax.fori_loop(0, n_iters, body, (deltas, opts))
+
+
+def batched_pose_fit(states, bases, cameras, gts, lr, *, mode="auto",
+                     tile_args=None, lambda_dssim=0.2, n_iters=300,
+                     exec_chunk=EXEC_CHUNK):
+    """Optimize B SE(3) tangents against B frozen models (host-chunked
+    compiled loops — see EXEC_CHUNK). Returns [B, 6]."""
+    B = gts.shape[0]
+    deltas = jnp.zeros((B, 6), jnp.float32)
+    opts = jax.vmap(lambda _: adam_lib.init(
+        {"pose": jnp.zeros(6, jnp.float32)}))(jnp.arange(B))
+    n_total = jnp.asarray(n_iters, jnp.int32)
+    chunk = min(exec_chunk, n_iters)
+    it0 = jnp.asarray(0, jnp.int32)
+    for _ in range(-(-n_iters // chunk)):
+        deltas, opts = _batched_pose_exec(
+            states, bases, cameras, gts, lr, deltas, opts, it0, n_total,
+            mode=mode, tile_args=tile_args, lambda_dssim=lambda_dssim,
+            n_iters=chunk)
+        it0 = it0 + chunk
     return deltas
 
 
