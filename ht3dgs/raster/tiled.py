@@ -101,6 +101,7 @@ def build_tile_lists(
     tile_w: int = 16,
     max_per_tile: int = 1024,
     dup_factor: int = 16,
+    route_bf16: bool = False,
 ):
     """Binning stages 1-5: packed per-tile entry blocks + meta.
 
@@ -108,7 +109,7 @@ def build_tile_lists(
     return build_tile_lists_from_rows(
         _pack_attr_rows(proj), proj.valid, proj.depths, height, width,
         tile_h=tile_h, tile_w=tile_w, max_per_tile=max_per_tile,
-        dup_factor=dup_factor)
+        dup_factor=dup_factor, route_bf16=route_bf16)
 
 
 def build_tile_lists_from_rows(
@@ -121,6 +122,7 @@ def build_tile_lists_from_rows(
     tile_w: int = 16,
     max_per_tile: int = 1024,
     dup_factor: int = 16,
+    route_bf16: bool = False,
 ):
     """Row-table flavor of the binning front-end: consumes pre-packed
     attribute rows (e.g. the all-gathered frustum survivors of a
@@ -134,9 +136,15 @@ def build_tile_lists_from_rows(
     cotangents to per-gaussian groups with ONE multi-payload lax.sort
     (key = the original gaussian id of each entry, free from the forward's
     slice) and segment-sums with a cumsum + boundary difference — several
-    times faster, identical up to f32 cumsum rounding."""
+    times faster, identical up to f32 cumsum rounding.
+
+    route_bf16=True quantizes the entry cotangents to bfloat16 and packs
+    them pairwise into int32 sort payloads (6 sort operands instead of 11;
+    lax.sort cost is per operand). Per-entry gradient error ~0.4% before
+    the f32 segment sums — below the CUDA reference's own atomic-order
+    run-to-run noise, but opt-in so exact f32 routing stays the default."""
     key = (height, width, tile_h, tile_w, max_per_tile, dup_factor,
-           attrs.shape[0])
+           bool(route_bf16), attrs.shape[0])
     if key not in _BINNING_CACHE:
         _BINNING_CACHE[key] = _make_binning_vjp(*key)
     return _BINNING_CACHE[key](attrs, valid, depths)
@@ -285,7 +293,7 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
 
 
 def _make_binning_vjp(height, width, tile_h, tile_w, max_per_tile,
-                      dup_factor, n_rows):
+                      dup_factor, route_bf16, n_rows):
     args = (height, width, tile_h, tile_w, max_per_tile, dup_factor)
 
     @jax.custom_vjp
@@ -310,10 +318,25 @@ def _make_binning_vjp(height, width, tile_h, tile_w, max_per_tile,
         # ~8 ns per index) or XLA's serial scatter-add. csrc holds ORIGINAL
         # row ids, so the segment sums land directly in output order.
         d_flat = d_ent.reshape(TK, A)
-        outs_s = jax.lax.sort(
-            (key,) + tuple(d_flat[:, i] for i in range(A)),
-            num_keys=1, is_stable=True)
-        skey = outs_s[0]
+        if route_bf16:
+            db = d_flat.astype(jnp.bfloat16)
+            db = jnp.pad(db, ((0, 0), (0, (-A) % 2)))
+            packs = jax.lax.bitcast_convert_type(
+                db.reshape(TK, -1, 2), jnp.int32)         # [TK, ceil(A/2)]
+            srt = jax.lax.sort(
+                (key,) + tuple(packs[:, i] for i in range(packs.shape[1])),
+                num_keys=1, is_stable=True)
+            skey = srt[0]
+            unpacked = jax.lax.bitcast_convert_type(
+                jnp.stack(srt[1:], axis=1), jnp.bfloat16
+            ).reshape(TK, -1)[:, :A]
+            outs_s = (skey,) + tuple(
+                unpacked[:, i].astype(jnp.float32) for i in range(A))
+        else:
+            outs_s = jax.lax.sort(
+                (key,) + tuple(d_flat[:, i] for i in range(A)),
+                num_keys=1, is_stable=True)
+            skey = outs_s[0]
         # per-gaussian segment boundaries in the sorted order: last
         # position+1 per key. Scatter cost is per *update*, so the updates
         # are first compacted to the <=n segment-end rows with one cheap
@@ -368,11 +391,13 @@ def rasterize_tiled(
     dup_factor: int = 16,
     chunk: int = 32,
     backend: str = "xla",   # "xla" | "xla_analytic" | "pallas"
+    route_bf16: bool = False,
 ) -> Dict[str, jax.Array]:
     ntx = _cdiv(width, tile_w)
     nty = _cdiv(height, tile_h)
     ent, meta, total, n_dropped = build_tile_lists(
-        proj, height, width, tile_h, tile_w, max_per_tile, dup_factor)
+        proj, height, width, tile_h, tile_w, max_per_tile, dup_factor,
+        route_bf16)
 
     # ---- 6. blend ---------------------------------------------------------
     # default "xla": AD-differentiated log-space scan (fastest measured:
@@ -410,13 +435,14 @@ def rasterize_from_rows(
     dup_factor: int = 16,
     chunk: int = 32,
     backend: str = "pallas",
+    route_bf16: bool = False,
 ) -> Dict[str, jax.Array]:
     """rasterize_tiled over a pre-packed row table (gauss_shard path)."""
     ntx = _cdiv(width, tile_w)
     nty = _cdiv(height, tile_h)
     ent, meta, total, n_dropped = build_tile_lists_from_rows(
         attrs, valid, depths, height, width, tile_h, tile_w, max_per_tile,
-        dup_factor)
+        dup_factor, route_bf16)
     if backend == "pallas":
         ent16 = jnp.pad(ent, ((0, 0), (0, 0), (0, ATTRS - ent.shape[-1])))
         rgb_t, T_t, dep_t = blend_pallas(ent16, meta, tile_h, tile_w)

@@ -46,6 +46,18 @@ def _round_capacity(n: int) -> int:
     return cap
 
 
+def _sync_device(tree) -> None:
+    """Hard execution barrier: host-fetch one scalar. The remote (axon)
+    TPU client wedges when a deep queue of executions and transfers builds
+    up (and block_until_ready can return before execution completes on this
+    runtime), so the batched Phase A synchronizes between its big dispatch
+    groups."""
+    import jax.tree_util as jtu
+
+    leaf = jtu.tree_leaves(tree)[0]
+    float(jnp.ravel(leaf)[0])
+
+
 @dataclass
 class ModelBundle:
     """One 3DGS model (a leaf or merged segment) + its optimizer + poses."""
@@ -338,14 +350,27 @@ class HTGaussianTrainer(GaussianTrainer):
         o = self.sched
         self.logger.info(f"[Phase A/batched] {len(pairs)} pairs, batch {B}")
 
+        # Prepare ALL point clouds up front and fit every chunk at ONE
+        # common capacity: a single compiled fit executable serves the whole
+        # phase (per-chunk capacities forced a recompile per distinct cap),
+        # and the depth-unprojection device work stays out of the fit
+        # dispatch stream — interleaving many distinct executables with the
+        # chunked fits wedged the remote TPU client (see _sync_device).
+        all_pcds = {prev: self.prepare_pcd(prev) for (_, prev) in pairs}
+        all_vfi_pcds = {}
+        if use_vfi:
+            all_vfi_pcds = {prev: self.prepare_pcd(prev, use_vfi_frame=True)
+                            for (_, prev) in pairs}
+        cap = max(_round_capacity(int(len(p.points) * 1.5))
+                  for p in list(all_pcds.values())
+                  + list(all_vfi_pcds.values()))
+
         for i0 in range(0, len(pairs), B):
             chunk = pairs[i0:i0 + B]
             # pad the chunk by repeating the last pair (results discarded)
             padded = chunk + [chunk[-1]] * (B - len(chunk))
 
-            pcds = [self.prepare_pcd(prev) for (_, prev) in padded]
-            cap = max(_round_capacity(int(len(p.points) * 1.5))
-                      for p in pcds)
+            pcds = [all_pcds[prev] for (_, prev) in padded]
             bundles = [self.make_model(p, capacity=cap) for p in pcds]
             states = pa.stack_states([b.state for b in bundles])
             opts = pa.stack_states([b.opt for b in bundles])
@@ -373,6 +398,7 @@ class HTGaussianTrainer(GaussianTrainer):
                 states, opts, cams, gts, lr_args, mode=self._mode,
                 tile_args=self._tile_args, lambda_dssim=o.lambda_dssim,
                 n_iters=o.phase_a_fit_iters)
+            _sync_device(states)
             self.logger.info(f"[Phase A/batched] fitted pairs {chunk}")
 
             bases = jnp.broadcast_to(
@@ -396,15 +422,8 @@ class HTGaussianTrainer(GaussianTrainer):
 
             # VFI: fit a second batch of local models to the midway frames,
             # then compose the two half-step poses
-            pcds_v = [self.prepare_pcd(prev, use_vfi_frame=True)
-                      for (_, prev) in padded]
-            cap_v = max(cap, max(_round_capacity(int(len(p.points) * 1.5))
-                                 for p in pcds_v))
-            if cap_v != cap:
-                # rebuild base batch at the common capacity? not needed —
-                # the two batches are independent pytrees
-                pass
-            bundles_v = [self.make_model(p, capacity=cap_v) for p in pcds_v]
+            pcds_v = [all_vfi_pcds[prev] for (_, prev) in padded]
+            bundles_v = [self.make_model(p, capacity=cap) for p in pcds_v]
             states_v = pa.stack_states([b.state for b in bundles_v])
             opts_v = pa.stack_states([b.opt for b in bundles_v])
             gts_v = jnp.stack([jnp.asarray(self.get_vfi(prev))
@@ -419,6 +438,7 @@ class HTGaussianTrainer(GaussianTrainer):
                 states_v, opts_v, cams, gts_v, lr_args_v, mode=self._mode,
                 tile_args=self._tile_args, lambda_dssim=o.lambda_dssim,
                 n_iters=o.phase_a_fit_iters)
+            _sync_device(states_v)
 
             # half-step 1: base model -> VFI frame; half-step 2: VFI model
             # -> frame f
@@ -426,6 +446,7 @@ class HTGaussianTrainer(GaussianTrainer):
                 states, bases, cams, gts_v, lr, mode=self._mode,
                 tile_args=self._tile_args, lambda_dssim=o.lambda_dssim,
                 n_iters=o.phase_a_pose_iters)
+            _sync_device(deltas1)
             cams_ref = pa.stack_cameras(
                 [self.camera_for(f) for (f, _) in padded])
             gts_ref = jnp.stack([jnp.asarray(self.load_image(f))

@@ -66,8 +66,10 @@ def _one_fit_step(state: GaussianState, opt, camera: Camera, gt, lrs,
 # as host-chunked segments of EXEC_CHUNK iterations: semantically
 # identical (the iteration offset threads through the LR schedule and
 # early-stop, and masked iterations freeze the carry), at one dispatch
-# round-trip per chunk.
-EXEC_CHUNK = 100
+# round-trip per chunk. The kill threshold is nondeterministic (a ~25 s
+# execution survived once and hung the worker the next time), so the chunk
+# targets single-digit-second executions for the heaviest Phase A shapes.
+EXEC_CHUNK = 25
 
 
 @partial(jax.jit, static_argnames=("mode", "tile_args", "lambda_dssim",

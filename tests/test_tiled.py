@@ -118,3 +118,23 @@ def test_grads_finite_with_subcutoff_opacity():
         state.means, state.opacity_logit, state.log_scales)
     for arr in g:
         assert np.all(np.isfinite(np.asarray(arr)))
+
+
+def test_bf16_route_grads_close():
+    """Opt-in bf16-packed backward routing: grads must match the exact f32
+    routing to bf16 quantization tolerance (~0.5% of the grad scale)."""
+    state, cam = make_scene(n=256)
+    proj = project_scene(state, cam)
+    bg = jnp.zeros((3,), jnp.float32)
+
+    def loss(means2d, bf16):
+        p = proj._replace(means2d=means2d)
+        out = rasterize_tiled(p, cam.height, cam.width, bg,
+                              max_per_tile=256, route_bf16=bf16)
+        return jnp.mean(out["image"] ** 2)
+
+    g0 = np.asarray(jax.grad(lambda m: loss(m, False))(proj.means2d))
+    g1 = np.asarray(jax.grad(lambda m: loss(m, True))(proj.means2d))
+    scale = np.abs(g0).max()
+    assert np.all(np.isfinite(g1))
+    assert np.max(np.abs(g1 - g0)) < 8e-3 * scale

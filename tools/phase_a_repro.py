@@ -49,11 +49,24 @@ def main():
                {k: jnp.full((B,), v, jnp.float32) for k, v in
                 dict(sh_dc=2.5e-3, sh_rest=1.25e-4, opacity_logit=5e-2,
                      log_scales=5e-3, quats=1e-3).items()})
-    print(f"B={B} cap={cap} iters={iters} {W}x{H}", flush=True)
-    out = pa.batched_fit(sb, ob, cams, gts, lr_args, mode="tiled",
-                         tile_args=None, lambda_dssim=0.2, n_iters=iters)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    print("result", float(jnp.ravel(leaf)[0]), flush=True)
+    rounds = int(os.environ.get("ROUNDS", "1"))
+    print(f"B={B} cap={cap} iters={iters} {W}x{H} rounds={rounds}",
+          flush=True)
+    for r in range(rounds):
+        # fresh data each round (mirrors per-chunk model rebuilds)
+        sb2 = jax.tree.map(
+            lambda x: x + (0.001 * (r + 1)) if x.dtype == jnp.float32 else x,
+            sb)
+        out = pa.batched_fit(sb2, ob, cams, gts, lr_args, mode="tiled",
+                             tile_args=None, lambda_dssim=0.2,
+                             n_iters=iters)
+        bases = jnp.tile(jnp.asarray([[0., 0, 0, 0, 0, 0, 1]], jnp.float32),
+                         (B, 1))
+        deltas = pa.batched_pose_fit(out[0], bases, cams, gts,
+                                     jnp.asarray(1e-3), mode="tiled",
+                                     tile_args=None, n_iters=150)
+        leaf = jax.tree_util.tree_leaves(deltas)[0]
+        print(f"round {r} result", float(jnp.ravel(leaf)[0]), flush=True)
     print("OK", flush=True)
 
 
