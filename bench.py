@@ -78,15 +78,18 @@ def main():
 
     # warmup/compile. NOTE: on the remote (axon) TPU runtime
     # block_until_ready can return before the computation has actually
-    # executed; fetching the scalar loss to the host is the only reliable
-    # completion barrier, so every timed iteration ends with float(l).
+    # executed; fetching a scalar to the host is the only reliable
+    # completion barrier. The timed loop dispatches all iterations
+    # back-to-back (as a real training loop would — JAX dispatch is async)
+    # and fetches once at the end, so the tunnel's ~27 ms round-trip is
+    # amortized instead of being charged to every step.
     l, g = step(state.means, state.sh_dc, state.opacity_logit)
     float(l)
 
     t0 = time.time()
     for _ in range(iters):
         l, g = step(state.means, state.sh_dc, state.opacity_logit)
-        float(l)
+    float(l)
     dt = (time.time() - t0) / iters
 
     mpix_per_s = (H * W / 1e6) / dt

@@ -320,6 +320,7 @@ class HTGaussianTrainer(GaussianTrainer):
         if not use_vfi:
             rel = self.fit_relative_pose(local, gt_ref, cam_ref, self.sched.phase_a_pose_iters)
             self.pose_dict[key] = rel
+            self._save_partial_poses()
             return
 
         pcd_vfi = self.prepare_pcd(view_idx_prev, use_vfi_frame=True)
@@ -334,6 +335,7 @@ class HTGaussianTrainer(GaussianTrainer):
         self.pose_dict[f"rel_pose_{view_idx_prev}_to_{view_idx_prev}.5"] = rel1
         self.pose_dict[f"rel_pose_{view_idx_prev}.5_to_{view_idx}"] = rel2
         self.pose_dict[key] = rel2 @ rel1
+        self._save_partial_poses()
 
     # ------------------------------------------------------------------ #
     # Phase A, batched (TPU-parallel pairs; see train.phase_a)
@@ -418,6 +420,7 @@ class HTGaussianTrainer(GaussianTrainer):
                 for (f, prev), rel in zip(chunk, rels):
                     self.pose_dict[f"rel_pose_{prev}_to_{f}"] = \
                         rel.astype(np.float32)
+                self._save_partial_poses()
                 continue
 
             # VFI: fit a second batch of local models to the midway frames,
@@ -464,6 +467,7 @@ class HTGaussianTrainer(GaussianTrainer):
                     r2.astype(np.float32)
                 self.pose_dict[f"rel_pose_{prev}_to_{f}"] = \
                     (r2 @ r1).astype(np.float32)
+            self._save_partial_poses()
 
         # validate: any non-finite batched result falls back to the
         # sequential reference-parity path for that pair
@@ -782,6 +786,14 @@ class HTGaussianTrainer(GaussianTrainer):
         if self.pipe_cfg.load_pose and os.path.exists(self.pipe_cfg.load_pose):
             self.load_pose_dict(self.pipe_cfg.load_pose)
             self.logger.info(f"loaded poses from {self.pipe_cfg.load_pose}")
+        # crash resume: Phase A persists its pose dict after every chunk —
+        # the remote TPU service can wedge mid-run (ROADMAP: reliability
+        # findings), and a restarted process skips every finished pair
+        partial = f"{self.result_path}/pose/pose_partial.npz"
+        if not self.pose_dict and os.path.exists(partial):
+            self.load_pose_dict(partial)
+            self.logger.info(
+                f"resumed {len(self.pose_dict)} poses from {partial}")
 
         # Phase A — relative poses for every adjacent pair
         with self.timer.phase("phase_a"):
@@ -1008,6 +1020,13 @@ class HTGaussianTrainer(GaussianTrainer):
     def save_pose_dict(self, path: str):
         np.savez_compressed(path, **self.pose_dict)
         self.logger.info(f"poses -> {path}")
+
+    def _save_partial_poses(self):
+        """Crash-resume breadcrumb: Phase A results so far (cheap npz; a
+        restarted run skips every pair already present)."""
+        path = f"{self.result_path}/pose/pose_partial.npz"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez_compressed(path, **self.pose_dict)
 
     def load_pose_dict(self, path: str):
         self.pose_dict = dict(np.load(path))
