@@ -54,8 +54,8 @@ import numpy as np
 from .projection import ALPHA_MAX, ALPHA_MIN, T_EPS
 
 ATTRS = 16    # packed row: mx,my,ca,cb,cc,r,g,b,op,depth,radius,pad...
-TB = 8        # tiles per program
-C_STEP = 64   # entries per grid step (per tile)
+TB = 8        # tiles per program (default; tunable per call)
+C_STEP = 64   # entries per grid step per tile (default; tunable per call)
 OUT_ROWS = 8  # r,g,b,depth,Tfinal,done,ncon,pad
 
 
@@ -165,10 +165,10 @@ def _bdot(a, b, contract_a, contract_b):
 # Pallas forward kernel
 
 def _blend_fwd_kernel(meta_ref, aux_ref, ent_ref, out_ref, acc_ref, *,
-                      P: int, n_chunks: int):
-    """Grid (T/TB, K/C_STEP). aux_ref [TB, 8, P] (rows: px, py, count);
-    ent_ref [TB, C_STEP, ATTRS]; out_ref [TB, OUT_ROWS, P]; acc_ref scratch
-    [TB, OUT_ROWS, P] persistent across the entry-chunk axis (rows 0-2 rgb,
+                      P: int, n_chunks: int, tb: int, cs: int):
+    """Grid (T/tb, K/cs). aux_ref [tb, 8, P] (rows: px, py, count);
+    ent_ref [tb, cs, ATTRS]; out_ref [tb, OUT_ROWS, P]; acc_ref scratch
+    [tb, OUT_ROWS, P] persistent across the entry-chunk axis (rows 0-2 rgb,
     3 depth, 4 transmittance, 5 done). Scalars (meta_ref prefetch) are used
     only for control flow — Mosaic cannot build vectors from SMEM scalars."""
     from jax.experimental import pallas as pl
@@ -178,17 +178,17 @@ def _blend_fwd_kernel(meta_ref, aux_ref, ent_ref, out_ref, acc_ref, *,
 
     @pl.when(c == 0)
     def _():
-        acc_ref[:, 0:4, :] = jnp.zeros((TB, 4, P), jnp.float32)
-        acc_ref[:, 4:5, :] = jnp.ones((TB, 1, P), jnp.float32)
-        acc_ref[:, 5:8, :] = jnp.zeros((TB, 3, P), jnp.float32)
+        acc_ref[:, 0:4, :] = jnp.zeros((tb, 4, P), jnp.float32)
+        acc_ref[:, 4:5, :] = jnp.ones((tb, 1, P), jnp.float32)
+        acc_ref[:, 5:8, :] = jnp.zeros((tb, 3, P), jnp.float32)
 
-    max_n = meta_ref[4 * (i * TB)]
-    for j in range(1, TB):
-        max_n = jnp.maximum(max_n, meta_ref[4 * (i * TB + j)])
+    max_n = meta_ref[4 * (i * tb)]
+    for j in range(1, tb):
+        max_n = jnp.maximum(max_n, meta_ref[4 * (i * tb + j)])
 
     tbuf = acc_ref[:, 4:5, :]
     done = acc_ref[:, 5:6, :]
-    live = (c * C_STEP < max_n) & \
+    live = (c * cs < max_n) & \
         (jnp.max(jnp.where(done < 0.5, tbuf, 0.0)) >= T_EPS)
 
     @pl.when(live)
@@ -196,7 +196,7 @@ def _blend_fwd_kernel(meta_ref, aux_ref, ent_ref, out_ref, acc_ref, *,
         blk = ent_ref[:, :, :]
         alpha, _, t_within, _ = _chunk_core(
             blk, aux_ref[:, 0:1, :], aux_ref[:, 1:2, :], aux_ref[:, 2:3, :],
-            c * C_STEP, _sublane_cumprod)
+            c * cs, _sublane_cumprod)
         w, kept, _, tbuf2, done2 = _chunk_weights(alpha, t_within, tbuf,
                                                   done)
         attr_t = jnp.swapaxes(_attr_cols(blk), 1, 2)        # [TB, 4, C]
@@ -214,10 +214,10 @@ def _blend_fwd_kernel(meta_ref, aux_ref, ent_ref, out_ref, acc_ref, *,
         out_ref[:, :, :] = acc_ref[:, :, :]
 
 
-def _pad_tk(ent, meta):
+def _pad_tk(ent, meta, tb=TB, cs=C_STEP):
     T, K, _ = ent.shape
-    T_pad = (-T) % TB
-    K_pad = (-K) % C_STEP
+    T_pad = (-T) % tb
+    K_pad = (-K) % cs
     if T_pad or K_pad:
         ent = jnp.pad(ent, ((0, T_pad), (0, K_pad), (0, 0)))
         meta = jnp.pad(meta, ((0, T_pad), (0, 0)))
@@ -234,7 +234,7 @@ def _make_aux(meta, Tp, P, tile_w):
 
 
 def _blend_tiles_pallas_raw(ent: jax.Array, meta: jax.Array, *, tile_h: int,
-                            tile_w: int):
+                            tile_w: int, tb: int = TB, cs: int = C_STEP):
     """Runs the forward kernel; returns (rgb [T,P,3], T_buf [T,P],
     dep [T,P], ncon [T,P] kept-entry count)."""
     from jax.experimental import pallas as pl
@@ -242,23 +242,24 @@ def _blend_tiles_pallas_raw(ent: jax.Array, meta: jax.Array, *, tile_h: int,
 
     T, K, _ = ent.shape
     P = tile_h * tile_w
-    ent, meta, Tp, Kp = _pad_tk(ent, meta)
-    n_chunks = Kp // C_STEP
+    ent, meta, Tp, Kp = _pad_tk(ent, meta, tb, cs)
+    n_chunks = Kp // cs
     aux = _make_aux(meta, Tp, P, tile_w)
 
-    kernel = functools.partial(_blend_fwd_kernel, P=P, n_chunks=n_chunks)
+    kernel = functools.partial(_blend_fwd_kernel, P=P, n_chunks=n_chunks,
+                               tb=tb, cs=cs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Tp // TB, n_chunks),
+        grid=(Tp // tb, n_chunks),
         in_specs=[
-            pl.BlockSpec((TB, 8, P), lambda i, c, *_: (i, 0, 0),
+            pl.BlockSpec((tb, 8, P), lambda i, c, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, C_STEP, ATTRS), lambda i, c, *_: (i, c, 0),
+            pl.BlockSpec((tb, cs, ATTRS), lambda i, c, *_: (i, c, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TB, OUT_ROWS, P), lambda i, c, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((tb, OUT_ROWS, P), lambda i, c, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TB, OUT_ROWS, P), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tb, OUT_ROWS, P), jnp.float32)],
     )
     out = pl.pallas_call(
         kernel,
@@ -275,11 +276,12 @@ def _blend_tiles_pallas_raw(ent: jax.Array, meta: jax.Array, *, tile_h: int,
 
 
 def blend_tiles_pallas(ent: jax.Array, meta: jax.Array, *, tile_h: int,
-                       tile_w: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                       tile_w: int, tb: int = TB, cs: int = C_STEP,
+                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """ent: [T, K, ATTRS] packed entries; meta: [T, 4] int32 (count,
     origin_x, origin_y, pad). Returns (rgb [T,P,3], T_buf [T,P], dep [T,P])."""
     rgb, tbuf, dep, _ = _blend_tiles_pallas_raw(ent, meta, tile_h=tile_h,
-                                                tile_w=tile_w)
+                                                tile_w=tile_w, tb=tb, cs=cs)
     return rgb, tbuf, dep
 
 
@@ -287,7 +289,7 @@ def blend_tiles_pallas(ent: jax.Array, meta: jax.Array, *, tile_h: int,
 # Pallas backward kernel (single-pass, back-to-front replay)
 
 def _bwd_onepass_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
-                        *, P: int, n_chunks: int):
+                        *, P: int, n_chunks: int, tb: int, cs: int):
     """One reversed sweep over the entry chunks (the CUDA backward's
     back-to-front replay): transmittance is reconstructed downward from
     T_fin by un-multiplying each kept entry's (1-alpha), and the suffix
@@ -314,20 +316,20 @@ def _bwd_onepass_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
 
     @pl.when(cr == 0)
     def _():
-        acc_ref[:, 0:1, :] = jnp.zeros((TB, 1, P), jnp.float32)
+        acc_ref[:, 0:1, :] = jnp.zeros((tb, 1, P), jnp.float32)
         acc_ref[:, 1:2, :] = dg_ref[:, 6:7, :]       # T_fin
 
-    max_n = meta_ref[4 * (i * TB)]
-    for j in range(1, TB):
-        max_n = jnp.maximum(max_n, meta_ref[4 * (i * TB + j)])
+    max_n = meta_ref[4 * (i * tb)]
+    for j in range(1, tb):
+        max_n = jnp.maximum(max_n, meta_ref[4 * (i * tb + j)])
 
     ncon = dg_ref[:, 5:6, :]
     # a chunk is dead if no tile in the block has entries there, or no
     # pixel's kept prefix reaches it
-    live = (c * C_STEP < max_n) & (jnp.max(ncon) > c * C_STEP)
+    live = (c * cs < max_n) & (jnp.max(ncon) > c * cs)
 
     # dead chunks have all-zero weights hence all-zero gradients
-    out_ref[:, :, :] = jnp.zeros((TB, C_STEP, ATTRS), jnp.float32)
+    out_ref[:, :, :] = jnp.zeros((tb, cs, ATTRS), jnp.float32)
 
     @pl.when(live)
     def _():
@@ -335,9 +337,9 @@ def _bwd_onepass_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
         C = blk.shape[1]
         alpha, one_minus, _, res = _chunk_core(
             blk, aux_ref[:, 0:1, :], aux_ref[:, 1:2, :], aux_ref[:, 2:3, :],
-            c * C_STEP, None)
+            c * cs, None)
         dx, dy, power, raw, gate = res
-        idxv = (c * C_STEP + jax.lax.broadcasted_iota(
+        idxv = (c * cs + jax.lax.broadcasted_iota(
             jnp.int32, (1, C, 1), 1)).astype(jnp.float32)
         ki = idxv < ncon                                    # kept prefix
         r = jnp.where(ki, one_minus, 1.0)
@@ -376,8 +378,8 @@ def _bwd_onepass_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
         d_cb = lsum(d_power * (-dx * dy))
         d_cc = lsum(d_power * (-0.5 * dy * dy))
         d_op = lsum(d_raw * jnp.exp(power))
-        d_a = _bdot(w, dA, 2, 2)                            # [TB, C, 4]
-        zeros = jnp.zeros((TB, C_STEP, ATTRS - 10), jnp.float32)
+        d_a = _bdot(w, dA, 2, 2)                            # [tb, C, 4]
+        zeros = jnp.zeros((tb, cs, ATTRS - 10), jnp.float32)
         out_ref[:, :, :] = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_a[:, :, 0:3], d_op,
              d_a[:, :, 3:4], zeros], axis=2)
@@ -387,7 +389,7 @@ def _bwd_onepass_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
 
 
 def _blend_bwd_pallas(ent, meta, tbuf_out, ncon, cts, *, tile_h: int,
-                      tile_w: int):
+                      tile_w: int, tb: int = TB, cs: int = C_STEP):
     """Pallas single-pass analytic backward. Returns d_ent [T, K, ATTRS]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -395,8 +397,8 @@ def _blend_bwd_pallas(ent, meta, tbuf_out, ncon, cts, *, tile_h: int,
     d_rgb, d_tbuf, d_dep = cts                  # [T,P,3], [T,P], [T,P]
     T, K, A = ent.shape
     P = tile_h * tile_w
-    ent, meta, Tp, Kp = _pad_tk(ent, meta)
-    n_chunks = Kp // C_STEP
+    ent, meta, Tp, Kp = _pad_tk(ent, meta, tb, cs)
+    n_chunks = Kp // cs
     aux = _make_aux(meta, Tp, P, tile_w)
 
     def padT(x):
@@ -414,23 +416,24 @@ def _blend_bwd_pallas(ent, meta, tbuf_out, ncon, cts, *, tile_h: int,
     nc = n_chunks
     grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Tp // TB, n_chunks),
+        grid=(Tp // tb, n_chunks),
         in_specs=[
-            pl.BlockSpec((TB, 8, P), lambda i, c, *_: (i, 0, 0),
+            pl.BlockSpec((tb, 8, P), lambda i, c, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, C_STEP, ATTRS),
+            pl.BlockSpec((tb, cs, ATTRS),
                          lambda i, c, *_: (i, nc - 1 - c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 8, P), lambda i, c, *_: (i, 0, 0),
+            pl.BlockSpec((tb, 8, P), lambda i, c, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TB, C_STEP, ATTRS),
+        out_specs=pl.BlockSpec((tb, cs, ATTRS),
                                lambda i, c, *_: (i, nc - 1 - c, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TB, 8, P), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tb, 8, P), jnp.float32)],
     )
     d_ent = pl.pallas_call(
-        functools.partial(_bwd_onepass_kernel, P=P, n_chunks=n_chunks),
+        functools.partial(_bwd_onepass_kernel, P=P, n_chunks=n_chunks,
+                          tb=tb, cs=cs),
         grid_spec=grid,
         out_shape=jax.ShapeDtypeStruct((Tp, Kp, ATTRS), jnp.float32),
     )(meta.reshape(-1), aux, ent, dg)
@@ -620,12 +623,13 @@ def _blend_bwd_analytic(ent, meta, tbuf_out, cts, *, tile_h: int,
 # --------------------------------------------------------------------------
 # custom-VJP assembly
 
-def _make_blend_vjp(tile_h: int, tile_w: int, forward: str, backward: str):
+def _make_blend_vjp(tile_h: int, tile_w: int, forward: str, backward: str,
+                    tb: int = TB, cs: int = C_STEP):
     @jax.custom_vjp
     def blend(ent, meta):
         if forward == "pallas":
             return blend_tiles_pallas(ent, meta, tile_h=tile_h,
-                                      tile_w=tile_w)
+                                      tile_w=tile_w, tb=tb, cs=cs)
         if forward == "xla_early":
             return _jnp_blend_early(ent, meta, tile_h=tile_h, tile_w=tile_w)
         return _jnp_blend_from_ent(ent, meta, tile_h=tile_h, tile_w=tile_w)
@@ -633,7 +637,7 @@ def _make_blend_vjp(tile_h: int, tile_w: int, forward: str, backward: str):
     def fwd(ent, meta):
         if forward == "pallas":
             rgb, tbuf, dep, ncon = _blend_tiles_pallas_raw(
-                ent, meta, tile_h=tile_h, tile_w=tile_w)
+                ent, meta, tile_h=tile_h, tile_w=tile_w, tb=tb, cs=cs)
             # save T_fin (tail) + kept-count (one-pass backward gating)
             return (rgb, tbuf, dep), (ent, meta, tbuf, ncon)
         out = blend(ent, meta)
@@ -643,7 +647,8 @@ def _make_blend_vjp(tile_h: int, tile_w: int, forward: str, backward: str):
         ent, meta, tbuf_out, ncon = res
         if backward == "pallas":
             d_ent = _blend_bwd_pallas(ent, meta, tbuf_out, ncon, cts,
-                                      tile_h=tile_h, tile_w=tile_w)
+                                      tile_h=tile_h, tile_w=tile_w,
+                                      tb=tb, cs=cs)
         else:
             d_ent = _blend_bwd_analytic(ent, meta, tbuf_out, cts,
                                         tile_h=tile_h, tile_w=tile_w)
@@ -657,17 +662,18 @@ def _make_blend_vjp(tile_h: int, tile_w: int, forward: str, backward: str):
 _BLEND_CACHE = {}
 
 
-def _cached(tile_h, tile_w, forward, backward):
-    key = (tile_h, tile_w, forward, backward)
+def _cached(tile_h, tile_w, forward, backward, tb=TB, cs=C_STEP):
+    key = (tile_h, tile_w, forward, backward, tb, cs)
     if key not in _BLEND_CACHE:
         _BLEND_CACHE[key] = _make_blend_vjp(tile_h, tile_w, forward,
-                                            backward)
+                                            backward, tb, cs)
     return _BLEND_CACHE[key]
 
 
-def blend_pallas(ent, meta, tile_h: int, tile_w: int):
-    """Pallas forward + Pallas two-pass analytic backward."""
-    return _cached(tile_h, tile_w, "pallas", "pallas")(ent, meta)
+def blend_pallas(ent, meta, tile_h: int, tile_w: int, tb: int = TB,
+                 cs: int = C_STEP):
+    """Pallas forward + Pallas one-pass analytic backward."""
+    return _cached(tile_h, tile_w, "pallas", "pallas", tb, cs)(ent, meta)
 
 
 def blend_xla(ent, meta, tile_h: int, tile_w: int):

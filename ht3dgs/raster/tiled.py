@@ -392,6 +392,8 @@ def rasterize_tiled(
     chunk: int = 32,
     backend: str = "xla",   # "xla" | "xla_analytic" | "pallas"
     route_bf16: bool = False,
+    blend_tb: int = 8,
+    blend_cs: int = 64,
 ) -> Dict[str, jax.Array]:
     ntx = _cdiv(width, tile_w)
     nty = _cdiv(height, tile_h)
@@ -407,7 +409,8 @@ def rasterize_tiled(
     # blueprint for the future Pallas backward kernel.
     if backend == "pallas":
         ent16 = jnp.pad(ent, ((0, 0), (0, 0), (0, ATTRS - ent.shape[-1])))
-        rgb_t, T_t, dep_t = blend_pallas(ent16, meta, tile_h, tile_w)
+        rgb_t, T_t, dep_t = blend_pallas(ent16, meta, tile_h, tile_w,
+                                         tb=blend_tb, cs=blend_cs)
     elif backend == "xla_analytic":
         rgb_t, T_t, dep_t = blend_xla(ent, meta, tile_h, tile_w)
     elif backend == "xla_early":
@@ -436,6 +439,8 @@ def rasterize_from_rows(
     chunk: int = 32,
     backend: str = "pallas",
     route_bf16: bool = False,
+    blend_tb: int = 8,
+    blend_cs: int = 64,
 ) -> Dict[str, jax.Array]:
     """rasterize_tiled over a pre-packed row table (gauss_shard path)."""
     ntx = _cdiv(width, tile_w)
@@ -445,7 +450,8 @@ def rasterize_from_rows(
         dup_factor, route_bf16)
     if backend == "pallas":
         ent16 = jnp.pad(ent, ((0, 0), (0, 0), (0, ATTRS - ent.shape[-1])))
-        rgb_t, T_t, dep_t = blend_pallas(ent16, meta, tile_h, tile_w)
+        rgb_t, T_t, dep_t = blend_pallas(ent16, meta, tile_h, tile_w,
+                                         tb=blend_tb, cs=blend_cs)
     elif backend == "xla_early":
         from .pallas_blend import blend_xla_early
 

@@ -31,7 +31,7 @@ def main():
     cam = make_camera(H, W, intrinsics_from_fov(1.2, H, W))
     target = jnp.zeros((H, W, 3), jnp.float32)
     ta = dict(tile_h=16, tile_w=16, max_per_tile=512, dup_factor=4,
-              backend="pallas")
+              backend="pallas", route_bf16=True)
 
     @jax.jit
     def step(means, sh_dc, opacity_logit):
