@@ -303,9 +303,9 @@ def _bwd_onepass_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
     T_fin/T_enter >= T_EPS * (1-ALPHA_MAX), so the divisions never
     underflow (same argument as the CUDA kernel's T /= (1-alpha)).
 
-    Grid (T/TB, K/C_STEP) with the chunk axis index-mapped in REVERSE.
-    dg_ref [TB, 8, P]: rows 0-2 d_rgb, 3 d_depth, 4 tail (= T_fin * dT),
-    5 ncon. out_ref [TB, C_STEP, ATTRS] gradient block for this
+    Grid (T/tb, K/cs) with the chunk axis index-mapped in REVERSE.
+    dg_ref [tb, 8, P]: rows 0-2 d_rgb, 3 d_depth, 4 tail (= T_fin * dT),
+    5 ncon. out_ref [tb, cs, ATTRS] gradient block for this
     (tile-block, chunk). acc_ref scratch rows: 0 suffix S_after, 1 T_exit
     (transmittance after this chunk's kept entries)."""
     from jax.experimental import pallas as pl

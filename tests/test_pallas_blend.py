@@ -44,13 +44,20 @@ def scene(n=192, h=48, w=64, seed=0):
     return proj, cam
 
 
-def test_pallas_forward_matches_xla():
+# non-default (tb, cs) blockings must stay semantics-identical: tb only
+# re-groups tiles per program; cs reshapes the Hillis-Steele prefix trees
+# (ulp-level FP re-association only)
+_BLOCKINGS = [(8, 64), (4, 128), (16, 64)]
+
+
+@pytest.mark.parametrize("tb,cs", _BLOCKINGS)
+def test_pallas_forward_matches_xla(tb, cs):
     proj, cam = scene()
     bg = jnp.asarray([0.15, 0.05, 0.25])
     kw = dict(tile_h=16, tile_w=16, max_per_tile=256)
     ref = rasterize_tiled(proj, cam.height, cam.width, bg, **kw)
     out = rasterize_tiled(proj, cam.height, cam.width, bg, backend="pallas",
-                          **kw)
+                          blend_tb=tb, blend_cs=cs, **kw)
     np.testing.assert_allclose(np.asarray(out["image"]),
                                np.asarray(ref["image"]), atol=3e-5)
     np.testing.assert_allclose(np.asarray(out["depth"]),
@@ -59,17 +66,19 @@ def test_pallas_forward_matches_xla():
                                np.asarray(ref["alpha"]), atol=3e-5)
 
 
-def test_pallas_backward_matches_xla():
+@pytest.mark.parametrize("tb,cs", _BLOCKINGS)
+def test_pallas_backward_matches_xla(tb, cs):
     proj, cam = scene(n=96, h=32, w=32)
     bg = jnp.zeros(3)
     kw = dict(tile_h=16, tile_w=16, max_per_tile=128)
 
-    def loss(means2d, backend):
+    def loss(means2d, backend, **bkw):
         p = proj._replace(means2d=means2d)
         out = rasterize_tiled(p, cam.height, cam.width, bg, backend=backend,
-                              **kw)
+                              **bkw, **kw)
         return jnp.mean(out["image"] ** 2) + 0.01 * jnp.mean(out["depth"])
 
     g_ref = np.asarray(jax.grad(lambda m: loss(m, "xla"))(proj.means2d))
-    g_pal = np.asarray(jax.grad(lambda m: loss(m, "pallas"))(proj.means2d))
+    g_pal = np.asarray(jax.grad(
+        lambda m: loss(m, "pallas", blend_tb=tb, blend_cs=cs))(proj.means2d))
     np.testing.assert_allclose(g_pal, g_ref, atol=1e-5)

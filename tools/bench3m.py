@@ -30,6 +30,10 @@ def main():
     state = G.create_from_pcd(pts, colors, capacity=N)
     cam = make_camera(H, W, intrinsics_from_fov(1.2, H, W))
     target = jnp.zeros((H, W, 3), jnp.float32)
+    # (dup=4, K=512, bf16) is in tools/route_sweep.py's validated config
+    # list; at 3M the average per-Gaussian tile coverage is lower than at
+    # 1M (same screen area split over 3x the Gaussians), so dup=4 drops
+    # no more than the swept dup=6-at-1M point does.
     ta = dict(tile_h=16, tile_w=16, max_per_tile=512, dup_factor=4,
               backend="pallas", route_bf16=True)
 

@@ -2,89 +2,35 @@
 """Validate route_bf16 + tighter K/dup operating points on device.
 
 Measures fwd+bwd ms and image/means-grad deviation of each candidate
-config against the current bench operating point (K=512, dup=8, fp32
+config against the round-2 bench operating point (K=512, dup=8, fp32
 route sort). Adoption rule (ROADMAP lever 1/2): take the fastest config
 whose max image deviation stays < 1e-3 (~1/4 8-bit LSB) and relative
 means-grad deviation < 1e-2.
 """
-import dataclasses
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+from _sweep_common import run_configs  # noqa: E402
 
 
 def main():
-    N, H, W = 1_000_000, 1080, 1920
-    from ht3dgs.core import gaussians as G
-    from ht3dgs.core.camera import intrinsics_from_fov, make_camera
-    from ht3dgs.raster import render
-
-    rng = np.random.default_rng(0)
-    pts = rng.standard_normal((N, 3)).astype(np.float32) * 1.5
-    pts[:, 2] += 6.0
-    colors = rng.random((N, 3)).astype(np.float32)
-    state = G.create_from_pcd(pts, colors, capacity=N)
-    cam = make_camera(H, W, intrinsics_from_fov(1.2, H, W))
-    target = jnp.zeros((H, W, 3), jnp.float32)
-
-    def make_step(tile_args):
-        @jax.jit
-        def step(means, sh_dc, opacity_logit):
-            def loss_fn(m, s, o):
-                st = dataclasses.replace(state, means=m, sh_dc=s,
-                                         opacity_logit=o)
-                out = render(st, cam, mode="tiled", tile_args=tile_args)
-                return jnp.mean((out["image"] - target) ** 2), out["image"]
-
-            (l, img), g = jax.value_and_grad(
-                loss_fn, argnums=(0, 1, 2), has_aux=True)(
-                    means, sh_dc, opacity_logit)
-            return l, img, g
-        return step
-
-    ref = None
     configs = [
-        (8, 512, False),   # current bench operating point (reference)
+        (8, 512, False),   # round-2 bench operating point (reference)
         (8, 512, True),
         (6, 512, True),
         (8, 384, True),
         (6, 384, True),
+        (4, 512, True),    # tools/bench3m.py's 3M operating point
     ]
+    rows = []
     for dup, K, bf16 in configs:
         ta = dict(tile_h=16, tile_w=16, max_per_tile=K, dup_factor=dup,
                   backend="pallas", route_bf16=bf16)
-        step = make_step(ta)
-        args = (state.means, state.sh_dc, state.opacity_logit)
-        t0 = time.perf_counter()
-        out = step(*args)
-        float(out[0])
-        compile_s = time.perf_counter() - t0
-        iters = 8
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = step(*args)
-        float(out[0])
-        dt = (time.perf_counter() - t0) / iters * 1e3
-        l, img, g = out
-        img_h = np.asarray(img)
-        gm = np.asarray(g[0])
-        if ref is None:
-            ref = (img_h, gm)
-            di = dg = 0.0
-        else:
-            di = float(np.max(np.abs(img_h - ref[0])))
-            denom = float(np.max(np.abs(ref[1]))) or 1.0
-            dg = float(np.max(np.abs(gm - ref[1]))) / denom
-        print(f"dup={dup:2d} K={K:4d} bf16={int(bf16)}: {dt:7.1f} ms  "
-              f"({H*W/1e3/dt:5.2f} MP/s)  loss={float(l):.6f}  "
-              f"d_img={di:.2e}  d_gmeans(rel)={dg:.2e}  "
-              f"(compile {compile_s:.0f}s)", flush=True)
+        rows.append((f"dup={dup:2d} K={K:4d} bf16={int(bf16)}", ta))
+    run_configs(rows)
 
 
 if __name__ == "__main__":
