@@ -36,15 +36,15 @@ def main():
     if on_tpu:
         n_gauss, H, W = 1_000_000, 1080, 1920
         # Capacity operating point validated by tools/cap_sweep2.py +
-        # tools/route_sweep.py: vs the exact K=512/dup=8/f32-route config,
-        # K=384/dup=6 with bf16-packed cotangent routing renders this
-        # workload with max image deviation 7e-4 (~1/5 of an 8-bit LSB)
-        # and max relative means-grad deviation 2.1e-3 — below the CUDA
-        # reference's own atomic-order run-to-run noise; the per-tile drop
-        # is farthest-first, which per-pixel transmittance termination
-        # would skip anyway.
+        # tools/route_sweep.py + tools/capdup_sweep.py: vs the exact
+        # K=512/dup=8/f32-route config, K=384/dup=6 with bf16-packed
+        # cotangent routing renders this workload with max image deviation
+        # 7e-4 (~1/5 of an 8-bit LSB) and max relative means-grad deviation
+        # 2.1e-3 — below the CUDA reference's own atomic-order run-to-run
+        # noise; dup=6 -> 4 is bit-identical at this workload (total tile
+        # entries < 4M, capdup_sweep round 3: d_img = 0 exactly).
         tile_args = dict(tile_h=16, tile_w=16, max_per_tile=384,
-                         dup_factor=6, backend="pallas", route_bf16=True)
+                         dup_factor=4, backend="pallas", route_bf16=True)
         iters = 10
     else:
         n_gauss, H, W = 20_000, 216, 384

@@ -289,7 +289,8 @@ def blend_tiles_pallas(ent: jax.Array, meta: jax.Array, *, tile_h: int,
 # Pallas backward kernel (single-pass, back-to-front replay)
 
 def _bwd_onepass_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
-                        *, P: int, n_chunks: int, tb: int, cs: int):
+                        *, P: int, n_chunks: int, tb: int, cs: int,
+                        tile_w: int):
     """One reversed sweep over the entry chunks (the CUDA backward's
     back-to-front replay): transmittance is reconstructed downward from
     T_fin by un-multiplying each kept entry's (1-alpha), and the suffix
@@ -366,18 +367,50 @@ def _bwd_onepass_kernel(meta_ref, aux_ref, ent_ref, dg_ref, out_ref, acc_ref,
         ca = blk[:, :, 2][:, :, None]
         cb = blk[:, :, 3][:, :, None]
         cc = blk[:, :, 4][:, :, None]
-        d_dx = d_power * (-(ca * dx) - cb * dy)
-        d_dy = d_power * (-(cc * dy) - cb * dx)
+        op = blk[:, :, 8][:, :, None]
 
-        def lsum(x):
-            return jnp.sum(x, axis=2, keepdims=True)        # [TB, C, 1]
-
-        d_mx = -lsum(d_dx)
-        d_my = -lsum(d_dy)
-        d_ca = lsum(d_power * (-0.5 * dx * dx))
-        d_cb = lsum(d_power * (-dx * dy))
-        d_cc = lsum(d_power * (-0.5 * dy * dy))
-        d_op = lsum(d_raw * jnp.exp(power))
+        # Per-entry pixel reductions via ONE MXU contraction. All six
+        # gradient sums are linear in the moments S_k = sum_P d_power *
+        # {1, u, v, u^2, v^2, uv} over the TILE-LOCAL pixel basis
+        # u = px - origin_x in [0, tile_w) (an entry-independent constant,
+        # so the basis is one [6, P] matrix shared by every tile): with
+        # mxl = mx - origin_x,  sum d_power*dx = S_u - mxl*S_1, etc.
+        # Tile-local coords keep the f32 cancellation bounded (|u| < 16;
+        # |mxl| <= extent+16, and whenever dx is small mxl is too), where
+        # global pixel coords (~1e3) would lose ~1e8*eps of precision.
+        # This replaces six VPU lane-reductions, the d_dx/d_dy products,
+        # and a second exp() with one [tb*cs, P]x[P, 6] matmul.
+        u = (jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) % tile_w
+             ).astype(jnp.float32)
+        v = (jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) // tile_w
+             ).astype(jnp.float32)
+        mono = jnp.concatenate(
+            [jnp.ones((1, P), jnp.float32), u, v, u * u, v * v, u * v],
+            axis=0)                                         # [6, P]
+        S = jax.lax.dot_general(
+            d_power.reshape(tb * C, P), mono, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).reshape(tb, C, 6)
+        # tile-local entry center: u - dx = (px-ox) - (px-mx) = mx - ox is
+        # constant across the lane axis, so a max-reduce extracts it exactly
+        mxl = jnp.max(u[None] - dx, axis=2, keepdims=True)  # [tb, C, 1]
+        myl = jnp.max(v[None] - dy, axis=2, keepdims=True)
+        s1 = S[:, :, 0:1]
+        sdx = S[:, :, 1:2] - mxl * s1                       # sum d_p*dx
+        sdy = S[:, :, 2:3] - myl * s1
+        sdxx = S[:, :, 3:4] - mxl * (2.0 * S[:, :, 1:2] - mxl * s1)
+        sdyy = S[:, :, 4:5] - myl * (2.0 * S[:, :, 2:3] - myl * s1)
+        sdxy = (S[:, :, 5:6] - mxl * S[:, :, 2:3] - myl * S[:, :, 1:2]
+                + mxl * myl * s1)
+        d_mx = ca * sdx + cb * sdy
+        d_my = cc * sdy + cb * sdx
+        d_ca = -0.5 * sdxx
+        d_cb = -sdxy
+        d_cc = -0.5 * sdyy
+        # d_op = sum d_raw*exp(power) = sum (d_power/op): op is constant
+        # per entry and exact in f32, so the division recovers it exactly
+        d_op = jnp.where(op > 0.0, s1 / jnp.maximum(op, 1e-30), 0.0)
         d_a = _bdot(w, dA, 2, 2)                            # [tb, C, 4]
         zeros = jnp.zeros((tb, cs, ATTRS - 10), jnp.float32)
         out_ref[:, :, :] = jnp.concatenate(
@@ -433,7 +466,7 @@ def _blend_bwd_pallas(ent, meta, tbuf_out, ncon, cts, *, tile_h: int,
     )
     d_ent = pl.pallas_call(
         functools.partial(_bwd_onepass_kernel, P=P, n_chunks=n_chunks,
-                          tb=tb, cs=cs),
+                          tb=tb, cs=cs, tile_w=tile_w),
         grid_spec=grid,
         out_shape=jax.ShapeDtypeStruct((Tp, Kp, ATTRS), jnp.float32),
     )(meta.reshape(-1), aux, ent, dg)

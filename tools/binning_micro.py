@@ -27,7 +27,8 @@ def timeit(fn, *args, iters=4):
 
 def main():
     N, H, W = 1_000_000, 1080, 1920
-    K, dup = 512, 8
+    K = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    dup = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     from ht3dgs.core import gaussians as G
     from ht3dgs.core.camera import intrinsics_from_fov, make_camera
     from ht3dgs.raster.projection import project

@@ -8,7 +8,8 @@ Times, per stage, fwd and fwd+bwd:
   - blend (per backend: pallas / xla_early)
   - full step (render + MSE loss + grads) per backend
 
-Usage: python tools/stage_profile.py [n_gauss] [H] [W] [iters]
+Usage: python tools/stage_profile.py [n_gauss] [H] [W] [iters] \
+           [backends] [max_per_tile] [dup_factor] [route_bf16]
 """
 
 import sys
@@ -39,6 +40,9 @@ def main():
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 5
     backends = sys.argv[5].split(",") if len(sys.argv) > 5 else \
         ["pallas", "xla_early"]
+    max_per_tile = int(sys.argv[6]) if len(sys.argv) > 6 else 1024
+    dup_factor = int(sys.argv[7]) if len(sys.argv) > 7 else 16
+    route_bf16 = bool(int(sys.argv[8])) if len(sys.argv) > 8 else False
 
     from ht3dgs.core import gaussians as G
     from ht3dgs.core.camera import intrinsics_from_fov, make_camera
@@ -53,7 +57,8 @@ def main():
     state = G.create_from_pcd(pts, colors, capacity=n_gauss)
     cam = make_camera(H, W, intrinsics_from_fov(1.2, H, W))
     target = jnp.zeros((H, W, 3), jnp.float32)
-    tile_kw = dict(tile_h=16, tile_w=16, max_per_tile=1024, dup_factor=16)
+    tile_kw = dict(tile_h=16, tile_w=16, max_per_tile=max_per_tile,
+                   dup_factor=dup_factor, route_bf16=route_bf16)
 
     print(f"device={jax.devices()[0].platform} n={n_gauss} {W}x{H}")
 
