@@ -196,53 +196,80 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
     # one 4-operand lax.sort beats argsort (itself a 2-operand sort) plus a
     # [N,2] row gather at the sorted order — gathers cost ~11 ns/index on
     # v5e while an extra sort operand costs ~1.6 ns/row.
+    # Zero-span gaussians sort to the END (key = +inf like culled rows):
+    # they emit no entries, so this is semantics-free, and it makes offs
+    # STRICTLY increasing over the live prefix — the window-bound invariant
+    # of the Pallas fills merge (pallas_binfill.py).
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
+    dkey = jnp.where(span0 > 0, depths, jnp.inf)
     _, order, packed_d, span = jax.lax.sort(
-        (depths, iota_n, packed0, span0), num_keys=1, is_stable=True)
+        (dkey, iota_n, packed0, span0), num_keys=1, is_stable=True)
 
     offs = jnp.cumsum(span) - span          # exclusive
     total = offs[-1] + span[-1]
 
-    # slot -> source gaussian: scatter each segment start into its slot and
-    # forward-fill (gather-free, O(M)). The scattered value is the ORIGINAL
-    # row id (order[g]+1) — NOT monotone along slots, so the fill is the
-    # blocked _seg_ffill rather than a plain cummax — which makes every
-    # downstream consumer (ent gather, backward segment sums) index the
-    # unsorted attr table directly: no un-depth-sort permutation anywhere.
-    pb = max(int(N).bit_length(), 1)
-    assert pb <= 27, f"capacity {N} overflows the ffill payload"
-    has = (span > 0) & (offs < M)
-    tgt = jnp.where(has, offs, M - 1)
-    src = jnp.clip(_seg_ffill(
-        jnp.zeros((M,), jnp.int32).at[tgt].max(
-            jnp.where(has, order + 1, 0)), pb) - 1, 0, N - 1)
-
-    # per-entry tile geometry, gather-free: forward-fill (x0, y0, span_x)
-    # bit-packed into one payload (each < 2^bits; 3*bits <= 27 holds to ~8K
-    # resolutions) from each segment start via the blocked-cummax fill. The
-    # segment-start slot needs no scatter of its own: adjacent segments
-    # always belong to different gaussians (each appears once in the depth
-    # order), so starts are exactly the src transitions.
-    pay_ff = _seg_ffill(
-        jnp.zeros((M,), jnp.int32).at[tgt].max(jnp.where(has, packed_d, 0)),
-        3 * bits)
-
+    # slot -> (source gaussian, tile id). Two equivalent expansions:
+    # - Pallas merge kernel (TPU): one sequential pass over the M slots
+    #   against the depth-sorted gaussian table (pallas_binfill.py), no
+    #   scatters, no [M]-length scan chains;
+    # - XLA fallback (CPU / odd shapes): scatter each segment start into
+    #   its slot and forward-fill (gather-free, O(M), _seg_ffill).
+    # Both carry ORIGINAL row ids, so every downstream consumer (ent
+    # gather, backward segment sums) indexes the unsorted attr table
+    # directly: no un-depth-sort permutation anywhere.
     m = jnp.arange(M, dtype=jnp.int32)
-    chg = src != jnp.concatenate(
-        [jnp.full((1,), -1, jnp.int32), src[:-1]])
-    pos_ff = jax.lax.cummax(jnp.where(chg, m + 1, 0))
-    local = m - (pos_ff - 1)
-    mask = (1 << bits) - 1
-    sx = jnp.maximum(pay_ff & mask, 1)
-    # TPU has no hardware integer division — local//sx over M entries is
-    # pathologically slow — so the quotient is computed in f32 with a +0.5
-    # bias (exact for local < 2^22 and the rounding margin 0.5/sx >> f32 eps)
-    q = jnp.floor((local.astype(jnp.float32) + 0.5)
-                  / sx.astype(jnp.float32)).astype(jnp.int32)
-    rem = local - q * sx
-    tx = (pay_ff >> (2 * bits)) + rem
-    ty = ((pay_ff >> bits) & mask) + q
-    tile_id = jnp.where(m < total, ty * ntx + tx, T)  # sentinel -> end
+    from .pallas_binfill import build_colsT, fills_pallas
+
+    # Measured on v5e at the bench point (M=4M): XLA fills 21 ms, Pallas
+    # merge kernel 26 ms (correct — tests/test_binfill.py — but the [L, W]
+    # compare/dot volume runs at ~20% VPU efficiency and loses to the
+    # scatter+cummax chain). Kept as tested infrastructure; flip here to
+    # re-evaluate on future hardware/toolchains.
+    use_pallas_fills = False
+    if use_pallas_fills:
+        mask = (1 << bits) - 1
+        colsT = build_colsT(packed_d >> (2 * bits),
+                            (packed_d >> bits) & mask,
+                            jnp.maximum(packed_d & mask, 1), offs, order)
+        tile_raw, src = fills_pallas(colsT, M, ntx)
+        src = jnp.clip(src, 0, N - 1)
+        tile_id = jnp.where(m < total, tile_raw, T)  # sentinel -> end
+    else:
+        pb = max(int(N).bit_length(), 1)
+        assert pb <= 27, f"capacity {N} overflows the ffill payload"
+        has = (span > 0) & (offs < M)
+        tgt = jnp.where(has, offs, M - 1)
+        src = jnp.clip(_seg_ffill(
+            jnp.zeros((M,), jnp.int32).at[tgt].max(
+                jnp.where(has, order + 1, 0)), pb) - 1, 0, N - 1)
+
+        # per-entry tile geometry, gather-free: forward-fill (x0, y0,
+        # span_x) bit-packed into one payload (each < 2^bits; 3*bits <= 27
+        # holds to ~8K resolutions) from each segment start via the
+        # blocked-cummax fill. The segment-start slot needs no scatter of
+        # its own: adjacent segments always belong to different gaussians
+        # (each appears once in the depth order), so starts are exactly
+        # the src transitions.
+        pay_ff = _seg_ffill(
+            jnp.zeros((M,), jnp.int32).at[tgt].max(
+                jnp.where(has, packed_d, 0)),
+            3 * bits)
+
+        chg = src != jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), src[:-1]])
+        pos_ff = jax.lax.cummax(jnp.where(chg, m + 1, 0))
+        local = m - (pos_ff - 1)
+        mask = (1 << bits) - 1
+        sx = jnp.maximum(pay_ff & mask, 1)
+        # TPU has no hardware integer division — local//sx over M entries
+        # is pathologically slow — so the quotient is computed in f32 with
+        # a +0.5 bias (exact for local < 2^22; margin 0.5/sx >> f32 eps)
+        q = jnp.floor((local.astype(jnp.float32) + 0.5)
+                      / sx.astype(jnp.float32)).astype(jnp.int32)
+        rem = local - q * sx
+        tx = (pay_ff >> (2 * bits)) + rem
+        ty = ((pay_ff >> bits) & mask) + q
+        tile_id = jnp.where(m < total, ty * ntx + tx, T)  # sentinel -> end
 
     # ---- 4. stable sort by tile (preserves depth order in ties) ----------
     # multi-operand lax.sort co-sorts src with the keys in one pass —
