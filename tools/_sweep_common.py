@@ -13,7 +13,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_scene(n=1_000_000, h=1080, w=1920, seed=0):
+def bench_scene(n=1_000_000, h=1080, w=1920, seed=0, trained=False):
+    """trained=True swaps the uniform create_from_pcd opacity (0.1
+    everywhere — an adversarial scene where transmittance never
+    terminates) for trained-3DGS statistics: bimodal opacity from the
+    reference's opacity-reset/prune cycle
+    (/root/reference/trainer/ht3dgs_trainer.py:150-157)."""
     from ht3dgs.core import gaussians as G
     from ht3dgs.core.camera import intrinsics_from_fov, make_camera
 
@@ -22,6 +27,17 @@ def bench_scene(n=1_000_000, h=1080, w=1920, seed=0):
     pts[:, 2] += 6.0
     colors = rng.random((n, 3)).astype(np.float32)
     state = G.create_from_pcd(pts, colors, capacity=n)
+    if trained:
+        import dataclasses
+
+        u = rng.random(n)
+        op = np.where(u < 0.45, rng.uniform(0.60, 0.99, n),
+                      np.where(u < 0.75, rng.uniform(0.15, 0.60, n),
+                               rng.uniform(0.01, 0.15, n))).astype(
+                                   np.float32)
+        logit = np.log(op / (1 - op)).astype(np.float32)[:, None]
+        state = dataclasses.replace(state,
+                                    opacity_logit=jnp.asarray(logit))
     cam = make_camera(h, w, intrinsics_from_fov(1.2, h, w))
     target = jnp.zeros((h, w, 3), jnp.float32)
     return state, cam, target
@@ -46,10 +62,11 @@ def make_step(state, cam, target, tile_args):
     return step
 
 
-def run_configs(configs, iters=8, n=1_000_000, h=1080, w=1920):
+def run_configs(configs, iters=8, n=1_000_000, h=1080, w=1920,
+                trained=False):
     """configs: iterable of (label, tile_args). Yields after each config;
     prints a timing + deviation-vs-first-config line per entry."""
-    state, cam, target = bench_scene(n, h, w)
+    state, cam, target = bench_scene(n, h, w, trained=trained)
     args = (state.means, state.sh_dc, state.opacity_logit)
     ref = None
     for label, ta in configs:

@@ -6,9 +6,11 @@ real texture, exact GT poses + depth), trains the full SfM-free
 hierarchical pipeline on it, then reports train-view PSNR and pose ATE/RPE
 against the exact ground truth. Appends a row to RESULTS.md.
 
-Usage: python tools/real_image_bench.py [out_dir] [--full]
-  default: quick CPU-sized run (96x128, 10 frames, short budgets)
-  --full:  video-sized run for a real chip (tiled renderer, 288x384)
+Usage: python tools/real_image_bench.py [out_dir] [--full|--medium]
+  default:  quick CPU-sized run (96x128, 10 frames, short budgets)
+  --medium: CPU-feasible overnight tier (160x208, 12 frames, ~1/3 of the
+            reference per-stage budgets)
+  --full:   video-sized run for a real chip (tiled renderer, 288x384)
 """
 
 import os
@@ -22,6 +24,13 @@ def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 and \
         not sys.argv[1].startswith("-") else "/tmp/ht3dgs_real_bench"
     full = "--full" in sys.argv
+    medium = "--medium" in sys.argv
+    if "--cpu" in sys.argv:
+        # sitecustomize pre-imports jax on the axon TPU platform; the env
+        # var is too late — force via jax.config (CLAUDE.md gotcha)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 
@@ -34,6 +43,8 @@ def main():
     data_dir = os.path.join(out_dir, "data")
     if full:
         h, w, n_frames = 288, 384, 24
+    elif medium:
+        h, w, n_frames = 160, 208, 12
     else:
         h, w, n_frames = 96, 128, 10
     gt_w2c, _ = photo_scene.write_dataset(data_dir, n_frames=n_frames,
@@ -59,6 +70,17 @@ def main():
         optim.phase_a_fit_iters = 400
         optim.phase_a_pose_iters = 150
         optim.leaf_init_iters = 400
+    elif medium:
+        pipe.init_max_points = 4_000
+        pipe.phase_a_batch = 4
+        optim.single_step = 80
+        optim.phase_a_fit_iters = 300
+        optim.phase_a_pose_iters = 120
+        optim.leaf_init_iters = 300
+        optim.mss_phase1_iteration_per_frame = 10
+        optim.densification_interval = 100
+        optim.densification_interval_leaf = 100
+        optim.densify_from_iter = 50
     else:
         pipe.init_max_points = 400
         optim.single_step = 25
@@ -82,8 +104,9 @@ def main():
     finally:
         os.chdir(cwd)
 
+    tier = "full" if full else ("medium" if medium else "quick")
     line = (f"| photo-plane ({w}x{h}, {n_frames}f, "
-            f"{'full' if full else 'quick'}) | {psnr:.2f} dB | "
+            f"{tier}) | {psnr:.2f} dB | "
             f"{stats['ATE'] * 100:.3f} | "
             f"{stats['RPE_trans_x100']:.3f} | "
             f"{stats['RPE_rot_deg']:.3f} |")
