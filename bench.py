@@ -57,15 +57,16 @@ def main():
                          dup_factor=4, backend="pallas", route_bf16=True)
         iters = 10
     elif on_tpu:
-        # trained-statistics scene. Operating point (dup=3, K=128, bf16
+        # trained-statistics scene. Operating point (dup=2, K=128, bf16
         # routing) validated by tools/trained_sweep.py vs the exact
         # (dup=8, K=512, f32) configuration: max image deviation 1.25e-4
         # (~1/30 of an 8-bit LSB), max relative means-grad deviation
         # 8.6e-4 — entirely from the bf16 cotangent routing (K/dup are
-        # deviation-free: per-pixel termination stops at ~130 entries).
+        # deviation-free: per-pixel termination stops at ~130 entries and
+        # dup=2 is bit-identical to dup=3 at this workload).
         n_gauss, H, W = 1_000_000, 1080, 1920
         tile_args = dict(tile_h=16, tile_w=16, max_per_tile=128,
-                         dup_factor=3, backend="pallas", route_bf16=True)
+                         dup_factor=2, backend="pallas", route_bf16=True)
         iters = 10
     else:
         n_gauss, H, W = 20_000, 216, 384

@@ -43,6 +43,7 @@ def main():
     max_per_tile = int(sys.argv[6]) if len(sys.argv) > 6 else 1024
     dup_factor = int(sys.argv[7]) if len(sys.argv) > 7 else 16
     route_bf16 = bool(int(sys.argv[8])) if len(sys.argv) > 8 else False
+    trained = "--trained" in sys.argv
 
     from ht3dgs.core import gaussians as G
     from ht3dgs.core.camera import intrinsics_from_fov, make_camera
@@ -50,13 +51,10 @@ def main():
     from ht3dgs.raster.projection import project
     from ht3dgs.raster.tiled import build_tile_lists
 
-    rng = np.random.default_rng(0)
-    pts = rng.standard_normal((n_gauss, 3)).astype(np.float32) * 1.5
-    pts[:, 2] += 6.0
-    colors = rng.random((n_gauss, 3)).astype(np.float32)
-    state = G.create_from_pcd(pts, colors, capacity=n_gauss)
-    cam = make_camera(H, W, intrinsics_from_fov(1.2, H, W))
-    target = jnp.zeros((H, W, 3), jnp.float32)
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from _sweep_common import bench_scene
+
+    state, cam, target = bench_scene(n_gauss, H, W, trained=trained)
     tile_kw = dict(tile_h=16, tile_w=16, max_per_tile=max_per_tile,
                    dup_factor=dup_factor, route_bf16=route_bf16)
 
