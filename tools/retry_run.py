@@ -43,7 +43,9 @@ def main():
                 print(f"[retry_run] child exited rc={rc}", flush=True)
                 break
             try:
-                age = time.time() - os.path.getmtime(args.log)
+                # clamp to child start: a pre-existing log from a previous
+                # (wedged) run must not count as staleness for this attempt
+                age = time.time() - max(os.path.getmtime(args.log), start)
             except OSError:
                 age = time.time() - start
             if age > args.idle_timeout:
