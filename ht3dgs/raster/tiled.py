@@ -105,7 +105,10 @@ def build_tile_lists(
 ):
     """Binning stages 1-5: packed per-tile entry blocks + meta.
 
-    Returns (ent [T,K,16], meta [T,4] int32, total, n_dropped)."""
+    Returns (ent [T,K,16], meta [T,4] int32, total, n_dropped_m,
+    n_dropped_tile) — the two overflow diagnostics are separate so the
+    trainer's auto-grow can widen only the exhausted capacity (dup_factor
+    for global M overflow, max_per_tile for per-tile overflow)."""
     return build_tile_lists_from_rows(
         _pack_attr_rows(proj), proj.valid, proj.depths, height, width,
         tile_h=tile_h, tile_w=tile_w, max_per_tile=max_per_tile,
@@ -305,9 +308,9 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
         lambda s: jax.lax.dynamic_slice(src_pad, (s,), (K,)))(
             jnp.minimum(starts, M))                        # [T, K]
     ent = jnp.take(attrs[:, :10], csrc, axis=0)            # [T, K, 10]
-    n_dropped = (jnp.maximum(total - M, 0)
-                 + jnp.sum(jnp.maximum(ends - starts - K, 0)))
-    outs = (ent, meta, total, n_dropped)
+    nd_m = jnp.maximum(total - M, 0)
+    nd_tile = jnp.sum(jnp.maximum(ends - starts - K, 0))
+    outs = (ent, meta, total, nd_m, nd_tile)
     if not want_res:
         return outs, None
 
@@ -427,7 +430,7 @@ def rasterize_tiled(
 ) -> Dict[str, jax.Array]:
     ntx = _cdiv(width, tile_w)
     nty = _cdiv(height, tile_h)
-    ent, meta, total, n_dropped = build_tile_lists(
+    ent, meta, total, nd_m, nd_tile = build_tile_lists(
         proj, height, width, tile_h, tile_w, max_per_tile, dup_factor,
         route_bf16)
 
@@ -452,7 +455,7 @@ def rasterize_tiled(
             ent, meta, tile_h=tile_h, tile_w=tile_w, chunk=chunk)
 
     return _assemble(rgb_t, T_t, dep_t, height, width, ntx, nty, tile_h,
-                     tile_w, bg_color, total, n_dropped)
+                     tile_w, bg_color, total, nd_m, nd_tile)
 
 
 def rasterize_from_rows(
@@ -475,7 +478,7 @@ def rasterize_from_rows(
     """rasterize_tiled over a pre-packed row table (gauss_shard path)."""
     ntx = _cdiv(width, tile_w)
     nty = _cdiv(height, tile_h)
-    ent, meta, total, n_dropped = build_tile_lists_from_rows(
+    ent, meta, total, nd_m, nd_tile = build_tile_lists_from_rows(
         attrs, valid, depths, height, width, tile_h, tile_w, max_per_tile,
         dup_factor, route_bf16)
     if backend == "pallas":
@@ -490,11 +493,11 @@ def rasterize_from_rows(
         rgb_t, T_t, dep_t = _jnp_blend_from_ent(
             ent, meta, tile_h=tile_h, tile_w=tile_w, chunk=chunk)
     return _assemble(rgb_t, T_t, dep_t, height, width, ntx, nty, tile_h,
-                     tile_w, bg_color, total, n_dropped)
+                     tile_w, bg_color, total, nd_m, nd_tile)
 
 
 def _assemble(rgb, T_buf, dep, height, width, ntx, nty, tile_h, tile_w,
-              bg_color, total, n_dropped) -> Dict[str, jax.Array]:
+              bg_color, total, nd_m, nd_tile) -> Dict[str, jax.Array]:
     def untile(x, ch=None):
         shape = (nty, ntx, tile_h, tile_w) + ((ch,) if ch else ())
         x = x.reshape(shape)
@@ -517,5 +520,7 @@ def _assemble(rgb, T_buf, dep, height, width, ntx, nty, tile_h, tile_w,
         "depth": dep_u,
         "alpha": alpha,
         "n_entries": total,
-        "n_dropped": n_dropped,
+        "n_dropped": nd_m + nd_tile,
+        "n_dropped_m": nd_m,
+        "n_dropped_tile": nd_tile,
     }

@@ -97,7 +97,16 @@ class HTGaussianTrainer(GaussianTrainer):
         # mutated schedule copy (hierarchical_training derives its own)
         self.sched = dataclasses.replace(optim_cfg)
         self._mode = pipe_cfg.render_mode
-        self._tile_args = None  # tuned per scene scale (see _maybe_retune)
+        self._tile_args = None  # auto-grown on overflow diagnostics
+        k0 = getattr(pipe_cfg, "tile_max_per_tile", 0)
+        d0 = getattr(pipe_cfg, "tile_dup_factor", 0)
+        if k0 or d0:
+            ta = {}
+            if k0:
+                ta["max_per_tile"] = int(k0)
+            if d0:
+                ta["dup_factor"] = int(d0)
+            self._tile_args = tuple(sorted(ta.items()))
         self._steps_since_tune = 0
         from ..utils.profiling import PhaseTimer
 
@@ -185,11 +194,21 @@ class HTGaussianTrainer(GaussianTrainer):
         if self._mode in ("tiled", "pallas", "auto") \
                 and self._steps_since_tune >= 50:
             self._steps_since_tune = 0
-            if int(metrics.get("n_dropped", 0)) > 0:
+            nd_m = int(metrics.get("n_dropped_m",
+                                   metrics.get("n_dropped", 0)))
+            nd_tile = int(metrics.get("n_dropped_tile", 0))
+            if nd_m > 0 or nd_tile > 0:
+                # grow only the exhausted capacity: global M overflow needs
+                # a bigger dup_factor; per-tile list overflow a bigger
+                # max_per_tile. Growing both on either signal (the old
+                # policy) quadrupled step cost on dense leaf scenes whose
+                # drops were M-side only.
                 ta = dict(self._tile_args or {})
-                ta["max_per_tile"] = min(
-                    2 * ta.get("max_per_tile", 1024), 4096)
-                ta["dup_factor"] = min(2 * ta.get("dup_factor", 16), 64)
+                if nd_tile > 0:
+                    ta["max_per_tile"] = min(
+                        2 * ta.get("max_per_tile", 1024), 4096)
+                if nd_m > 0:
+                    ta["dup_factor"] = min(2 * ta.get("dup_factor", 16), 64)
                 self._tile_args = tuple(sorted(ta.items()))
                 self.logger.info(f"tile capacity grown: {ta}")
 

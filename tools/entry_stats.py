@@ -29,10 +29,10 @@ def main():
         p = project(means, state.scales(), state.quats, state.opacities(),
                     state.sh(), state.live, cam, state.active_sh_degree,
                     state.max_sh_degree)
-        ent, meta, total, n_dropped = build_tile_lists(
+        ent, meta, total, nd_m, nd_tile = build_tile_lists(
             p, H, W, 16, 16, 1024, 16)
         counts = meta[:, 0]
-        return (total, n_dropped, counts.max(), counts.mean(),
+        return (total, nd_m + nd_tile, counts.max(), counts.mean(),
                 jnp.percentile(counts.astype(jnp.float32),
                                jnp.array([50.0, 90.0, 99.0])))
 

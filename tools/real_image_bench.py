@@ -66,6 +66,11 @@ def main():
         # the Phase A batch so 8 concurrent local models fit 16G HBM
         pipe.init_max_points = 40_000
         pipe.phase_a_batch = 4
+        # preset binning capacities for this dense close-range scene: the
+        # auto-grow otherwise recompiles the big leaf graph mid-run
+        # (minutes over the remote tunnel per growth step)
+        pipe.tile_max_per_tile = 2048
+        pipe.tile_dup_factor = 32
         optim.single_step = 100
         optim.phase_a_fit_iters = 400
         optim.phase_a_pose_iters = 150
