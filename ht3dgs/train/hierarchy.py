@@ -209,8 +209,10 @@ class HTGaussianTrainer(GaussianTrainer):
                         2 * ta.get("max_per_tile", 1024), 4096)
                 if nd_m > 0:
                     ta["dup_factor"] = min(2 * ta.get("dup_factor", 16), 64)
-                self._tile_args = tuple(sorted(ta.items()))
-                self.logger.info(f"tile capacity grown: {ta}")
+                new_args = tuple(sorted(ta.items()))
+                if new_args != self._tile_args:   # silent once saturated
+                    self._tile_args = new_args
+                    self.logger.info(f"tile capacity grown: {ta}")
 
         if do_densify:
             use_screen = iteration > o.opacity_reset_interval

@@ -88,13 +88,16 @@ def test_viewer_bridge_roundtrip(tmp_path):
     import time
 
     cli = None
-    for _ in range(50):
+    for _ in range(100):
         try:
-            cli = socket.create_connection(("127.0.0.1", port), timeout=1)
+            cli = socket.create_connection(("127.0.0.1", port), timeout=5)
             break
         except OSError:
-            time.sleep(0.1)
+            time.sleep(0.2)
     assert cli is not None
+    # generous IO timeout: under full-suite load (other workers own the
+    # CPUs) the server's first render/compile can take tens of seconds
+    cli.settimeout(120)
 
     msg = json.dumps({"resolution_x": 48, "resolution_y": 32,
                       "fov_x": 1.2, "fov_y": 0.9,
