@@ -42,7 +42,10 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     data_dir = os.path.join(out_dir, "data")
     if full:
-        h, w, n_frames = 288, 384, 24
+        # sized for the remote (axon) single-chip service: the 288x384/24f
+        # variant's post-merge root phase (auto-grown capacities on the
+        # ~200k-gaussian merged model) exceeds the service's tolerance
+        h, w, n_frames = 192, 256, 16
     elif medium:
         h, w, n_frames = 160, 208, 12
     else:
@@ -64,7 +67,7 @@ def main():
     if full:
         # ~110k unprojected points/frame at 288x384; cap the init clouds and
         # the Phase A batch so 8 concurrent local models fit 16G HBM
-        pipe.init_max_points = 40_000
+        pipe.init_max_points = 20_000
         pipe.phase_a_batch = 4
         # preset binning capacities for this dense close-range scene: the
         # auto-grow otherwise recompiles the big leaf graph mid-run
