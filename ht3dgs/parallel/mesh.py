@@ -317,6 +317,14 @@ def build_hierarchy_step(mesh: Mesh, height: int, width: int, *,
             "n_visible": jnp.sum((out["radii"] > 0).astype(jnp.int32)),
             "n_dropped": jax.lax.psum(
                 out.get("n_dropped", jnp.asarray(0, jnp.int32)), "tile"),
+            # split overflow diagnostics so the parallel auto-grow can grow
+            # only the exhausted capacity (same policy as the single-chip
+            # trainer's host_train_step)
+            "n_dropped_m": jax.lax.psum(
+                out.get("n_dropped_m", jnp.asarray(0, jnp.int32)), "tile"),
+            "n_dropped_tile": jax.lax.psum(
+                out.get("n_dropped_tile", jnp.asarray(0, jnp.int32)),
+                "tile"),
         }
         return state.replace_params(new_params), new_opt, metrics
 
@@ -357,7 +365,9 @@ def build_hierarchy_step(mesh: Mesh, height: int, width: int, *,
                 spec_tree(states, P("segment")),
                 spec_tree(opts, P("segment")),
                 {"loss": P("segment"), "psnr": P("segment"),
-                 "n_visible": P("segment"), "n_dropped": P("segment")},
+                 "n_visible": P("segment"), "n_dropped": P("segment"),
+                 "n_dropped_m": P("segment"),
+                 "n_dropped_tile": P("segment")},
             ),
             check_vma=False,
         )

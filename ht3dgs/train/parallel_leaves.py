@@ -210,15 +210,23 @@ def train_leaf_segments_parallel(tr, frame_lists: List[List[int]],
         steps_since_tune += 1
         if steps_since_tune >= 50:
             steps_since_tune = 0
-            if int(np.max(np.asarray(m["n_dropped"]))) > 0:
+            nd_m = int(np.max(np.asarray(m["n_dropped_m"])))
+            nd_tile = int(np.max(np.asarray(m["n_dropped_tile"])))
+            if nd_m > 0 or nd_tile > 0:
+                # grow only the exhausted capacity (same policy as
+                # hierarchy.host_train_step — growing both quadruples the
+                # step cost on scenes whose drops are one-sided)
                 ta = dict(tile_args or {})
-                ta["max_per_tile"] = min(2 * ta.get("max_per_tile", 1024),
-                                         4096)
-                ta["dup_factor"] = min(2 * ta.get("dup_factor", 16), 64)
-                tile_args = ta
-                step = build_step()
-                tr.logger.info(f"[parallel leaves] tile capacity grown: "
-                               f"{ta}")
+                if nd_tile > 0:
+                    ta["max_per_tile"] = min(
+                        2 * ta.get("max_per_tile", 1024), 4096)
+                if nd_m > 0:
+                    ta["dup_factor"] = min(2 * ta.get("dup_factor", 16), 64)
+                if ta != (tile_args or {}):
+                    tile_args = ta
+                    step = build_step()
+                    tr.logger.info(f"[parallel leaves] tile capacity "
+                                   f"grown: {ta}")
 
         if do_densify:
             use_screen = iteration > oo.opacity_reset_interval

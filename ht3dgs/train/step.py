@@ -92,6 +92,12 @@ def gaussian_train_step(
         "psnr": psnr(out["image"], gt_image),
         "n_visible": jnp.sum((out["radii"] > 0).astype(jnp.int32)),
         "n_dropped": out.get("n_dropped", jnp.asarray(0, jnp.int32)),
+        # split overflow diagnostics: the auto-grow policy must know WHICH
+        # capacity (global M dup pool vs per-tile list) overflowed so it can
+        # grow only that knob (hierarchy.py host_train_step)
+        "n_dropped_m": out.get("n_dropped_m", jnp.asarray(0, jnp.int32)),
+        "n_dropped_tile": out.get("n_dropped_tile",
+                                  jnp.asarray(0, jnp.int32)),
     }
     return state, new_opt, metrics
 

@@ -155,6 +155,38 @@ def test_hierarchy_step_apply_modes_and_active():
     assert int(ob2.step[0]) == 1 and int(ob2.step[1]) == 0
 
 
+def test_hierarchy_step_split_drop_counters():
+    """The sharded step must expose the split overflow diagnostics so the
+    parallel-leaf auto-grow can widen only the exhausted capacity."""
+    H, W = 32, 32
+    mesh = mesh_lib.make_mesh(1, 4)
+    cam = make_camera(H, W, intrinsics_from_fov(1.2, H, W))
+    state = make_segment(0, n=128, cap=128)
+    state = dataclasses.replace(
+        state, means=state.means * jnp.asarray([0.1, 0.1, 1.0]))
+    opt = adam_lib.init(state.params())
+    gts = jnp.zeros((1, H, W, 3), jnp.float32)
+    lrs = {k: jnp.full((1,), 1e-2) for k in state.params()}
+
+    hstep = mesh_lib.build_hierarchy_step(
+        mesh, H, W, mode="tiled",
+        tile_args=dict(tile_h=8, tile_w=16, max_per_tile=4, dup_factor=16))
+    _, _, m = hstep(mesh_lib.batch_segments([state]),
+                    mesh_lib.batch_segments([opt]),
+                    mesh_lib.batch_segments([cam]), gts, lrs)
+    assert int(np.max(np.asarray(m["n_dropped_tile"]))) > 0
+    assert int(np.max(np.asarray(m["n_dropped_m"]))) == 0
+
+    hstep2 = mesh_lib.build_hierarchy_step(
+        mesh, H, W, mode="tiled",
+        tile_args=dict(tile_h=8, tile_w=16, max_per_tile=512, dup_factor=1))
+    _, _, m2 = hstep2(mesh_lib.batch_segments([state]),
+                      mesh_lib.batch_segments([opt]),
+                      mesh_lib.batch_segments([cam]), gts, lrs)
+    assert int(np.max(np.asarray(m2["n_dropped_m"]))) > 0
+    assert int(np.max(np.asarray(m2["n_dropped_tile"]))) == 0
+
+
 def test_ssim_sharded_exact():
     """ssim_sharded over 4 row shards == single-device ssim (value + grad)."""
     from jax import shard_map

@@ -83,6 +83,28 @@ def test_tiled_overflow_reported():
     assert int(til["n_dropped"]) > 0
 
 
+def test_overflow_diagnostics_are_selective():
+    """The two overflow counters must identify WHICH capacity overflowed —
+    the trainer's auto-grow widens only the exhausted knob."""
+    state, cam = make_scene(n=256, spread=0.05)
+    proj = project_scene(state, cam)
+    bg = jnp.zeros(3)
+
+    # per-tile-only overflow: huge dup pool, tiny per-tile lists
+    t = rasterize_tiled(proj, cam.height, cam.width, bg,
+                        max_per_tile=8, dup_factor=16)
+    assert int(t["n_dropped_tile"]) > 0
+    assert int(t["n_dropped_m"]) == 0
+    assert int(t["n_dropped"]) == int(t["n_dropped_tile"])
+
+    # M-only overflow: dup_factor=1 with multi-tile footprints, wide lists
+    m = rasterize_tiled(proj, cam.height, cam.width, bg,
+                        max_per_tile=512, dup_factor=1)
+    assert int(m["n_dropped_m"]) > 0
+    assert int(m["n_dropped_tile"]) == 0
+    assert int(m["n_dropped"]) == int(m["n_dropped_m"])
+
+
 def test_tiled_jit_and_probe_grad():
     state, cam = make_scene(n=128)
 

@@ -141,6 +141,34 @@ def test_capacity_overflow_reported():
     assert int(dropped) > 0
 
 
+def test_step_metrics_split_drop_counters():
+    """gaussian_train_step must plumb the rasterizer's split overflow
+    diagnostics (n_dropped_m / n_dropped_tile) so the trainer's auto-grow
+    can widen only the exhausted capacity (round-3 regression: only the
+    combined count reached the trainer, so tile overflow grew dup_factor
+    and max_per_tile was never grown)."""
+    state, cam = toy_scene(n=256, cap=256)
+    # dense cluster => per-tile overflow at a tiny max_per_tile
+    state = dataclasses.replace(
+        state, means=state.means * jnp.asarray([0.1, 0.1, 1.0]))
+    opt = adam_lib.init(state.params())
+    gt = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+    lrs = default_lrs()
+
+    _, _, m_tile = step_lib.gaussian_train_step(
+        state, opt, cam, gt, lrs, mode="tiled",
+        tile_args=tuple(sorted(dict(max_per_tile=8, dup_factor=16).items())))
+    assert int(m_tile["n_dropped_tile"]) > 0
+    assert int(m_tile["n_dropped_m"]) == 0
+    assert int(m_tile["n_dropped"]) == int(m_tile["n_dropped_tile"])
+
+    _, _, m_m = step_lib.gaussian_train_step(
+        state, opt, cam, gt, lrs, mode="tiled",
+        tile_args=tuple(sorted(dict(max_per_tile=512, dup_factor=1).items())))
+    assert int(m_m["n_dropped_m"]) > 0
+    assert int(m_m["n_dropped_tile"]) == 0
+
+
 def test_pose_fit_recovers_transform():
     """Freeze Gaussians, apply a known SE(3) to generate the target, and
     recover it by pose-only optimization — the reference's relative-pose
