@@ -157,6 +157,14 @@ def fills_pallas(colsT, M: int, ntx: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # The bf16 adjacent-difference dot reconstructs x0/y0/span_x exactly
+    # only for whole values < 2^8; x0 ranges over the tile grid, so bound
+    # the grid to 256 tiles per axis (~4K at 16px tiles). Larger grids
+    # need the same 8-bit piece split build_colsT applies to offs/order.
+    assert ntx < 256, (
+        f"fills_pallas: tile grid width {ntx} >= 256 breaks bf16-exact "
+        f"column reconstruction (split x0/y0/span_x into 8-bit pieces)")
+
     L = L_SLOTS
     W = L + 2 * ALIGN
     Mp = -(-M // L) * L    # rounded up; extra slots sliced off below

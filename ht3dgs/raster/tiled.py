@@ -230,6 +230,9 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
     # re-evaluate on future hardware/toolchains.
     use_pallas_fills = False
     if use_pallas_fills:
+        # build_colsT's bf16 one-hot dot is exact only for whole coords
+        # < 2^8 (fills_pallas asserts ntx; y0 has the same bound)
+        assert nty < 256, f"tile grid height {nty} >= 256 (see fills_pallas)"
         mask = (1 << bits) - 1
         colsT = build_colsT(packed_d >> (2 * bits),
                             (packed_d >> bits) & mask,

@@ -64,11 +64,14 @@ def make_step(state, cam, target, tile_args):
 
 def run_configs(configs, iters=8, n=1_000_000, h=1080, w=1920,
                 trained=False):
-    """configs: iterable of (label, tile_args). Yields after each config;
-    prints a timing + deviation-vs-first-config line per entry."""
+    """configs: iterable of (label, tile_args). Prints a timing +
+    deviation-vs-first-config line per entry and returns a list of
+    {label, ms, mps, d_img, d_gmeans} dicts (ms=None for failed configs),
+    so callers select rows by label instead of parsing stdout."""
     state, cam, target = bench_scene(n, h, w, trained=trained)
     args = (state.means, state.sh_dc, state.opacity_logit)
     ref = None
+    results = []
     for label, ta in configs:
         step = make_step(state, cam, target, ta)
         t0 = time.perf_counter()
@@ -78,6 +81,8 @@ def run_configs(configs, iters=8, n=1_000_000, h=1080, w=1920,
         except Exception as e:  # noqa: BLE001 — sweep survives OOM configs
             print(f"{label}: FAILED ({type(e).__name__}: {str(e)[:120]})",
                   flush=True)
+            results.append(dict(label=label, ms=None, mps=None,
+                                d_img=None, d_gmeans=None))
             continue
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -98,3 +103,6 @@ def run_configs(configs, iters=8, n=1_000_000, h=1080, w=1920,
         print(f"{label}: {dt:7.1f} ms  ({h*w/1e3/dt:5.2f} MP/s)  "
               f"loss={float(l):.6f}  d_img={di:.2e}  d_gmeans(rel)={dg:.2e}  "
               f"(compile {compile_s:.0f}s)", flush=True)
+        results.append(dict(label=label, ms=dt, mps=h * w / 1e3 / dt,
+                            d_img=di, d_gmeans=dg))
+    return results

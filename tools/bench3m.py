@@ -29,20 +29,16 @@ def main():
                      dict(tile_h=16, tile_w=16, max_per_tile=512,
                           dup_factor=8, backend="pallas",
                           route_bf16=False)))
-    rows.append(("dup= 3 K= 128 bf16=1",
+    target_label = "dup= 3 K= 128 bf16=1"
+    rows.append((target_label,
                  dict(tile_h=16, tile_w=16, max_per_tile=128, dup_factor=3,
                       backend="pallas", route_bf16=True)))
-    import io
-    import contextlib
-
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        run_configs(rows, iters=5, n=3_000_000, trained=True)
-    out = buf.getvalue()
-    print(out, end="")
-    last = [ln for ln in out.strip().splitlines() if "ms" in ln][-1]
-    ms = float(last.split(":")[1].split("ms")[0])
-    mps = 1920 * 1080 / 1e3 / ms
+    results = run_configs(rows, iters=5, n=3_000_000, trained=True)
+    target = next(r for r in results if r["label"] == target_label)
+    if target["ms"] is None:
+        raise SystemExit(f"target config {target_label!r} FAILED — no "
+                         f"headline number recorded")
+    ms, mps = target["ms"], target["mps"]
     line = (f"| rasterizer bench 3M Gaussians 1080p trained-stats scene "
             f"(single chip) | {ms:.0f} ms/step | {mps:.2f} MP/s fwd+bwd "
             f"| - | - |")
