@@ -60,24 +60,38 @@ def eval_nvs(trainer, checkpoint: Optional[str] = None,
     # camera_rotation_lr — do not "fix" this by adding a schedule.
     bases = [np.asarray(se3.se3_from_matrix(jnp.asarray(p)))
              for p in init]
-    deltas = [jnp.zeros(6, jnp.float32) for _ in range(seq_len)]
-    opts = [step_lib.init_pose_opt() for _ in range(seq_len)]
     lr = jnp.asarray(trainer.sched.rotation_lr, jnp.float32)
-
     epochs = trainer.sched.eval_nvs_epochs
-    for ep in range(epochs):
-        for f in range(seq_len):
-            cam = trainer.camera_for(f)  # identity extrinsics
-            gt = jnp.asarray(trainer.load_image(f))
-            deltas[f], opts[f], m = step_lib.pose_train_step(
-                bundle.state, deltas[f], jnp.asarray(bases[f]), opts[f],
-                cam, gt, lr, mode=trainer._mode,
-                tile_args=trainer._tile_args,
-                lambda_dssim=trainer.sched.lambda_dssim)
-        if (ep + 1) % 20 == 0:
-            trainer.logger.info(
-                f"[eval_nvs] epoch {ep + 1}/{epochs} "
-                f"last psnr {float(m['psnr']):.2f}")
+
+    # Test frames are independent, so the reference's epochs x seq_len
+    # host loop of single pose-Adam steps
+    # (/root/reference/trainer/ht3dgs_trainer.py:1025-1042) collapses into
+    # chunks of frames optimized CONCURRENTLY by the batched pose-fit
+    # kernel (one frozen shared model, vmapped tangents): identical
+    # per-frame optimization trajectories — each frame's Adam chain never
+    # reads another frame's state — at 1/seq_len the host dispatches.
+    # Chunking bounds the [B, H, W, 3] target stack in device memory.
+    from . import phase_a as pa
+
+    B = max(1, int(getattr(trainer.pipe_cfg, "eval_nvs_batch", 16)))
+    deltas = [None] * seq_len
+    for c0 in range(0, seq_len, B):
+        frames = list(range(c0, min(c0 + B, seq_len)))
+        cams = pa.stack_cameras(
+            [trainer.camera_for(f) for f in frames])  # identity extrinsics
+        gts = jnp.stack([jnp.asarray(trainer.load_image(f))
+                         for f in frames])
+        db = pa.batched_pose_fit(
+            bundle.state, jnp.asarray(np.stack([bases[f] for f in frames])),
+            cams, gts, lr, mode=trainer._mode,
+            tile_args=trainer._tile_args,
+            lambda_dssim=trainer.sched.lambda_dssim, n_iters=epochs,
+            shared_state=True)
+        for i, f in enumerate(frames):
+            deltas[f] = db[i]
+        trainer.logger.info(
+            f"[eval_nvs] pose-fit frames {frames[0]}..{frames[-1]} "
+            f"({epochs} epochs)")
 
     rows = []
     for f in range(seq_len):

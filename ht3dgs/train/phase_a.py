@@ -147,14 +147,18 @@ def _one_pose_step(state, delta, base, opt, camera, gt, lr, *,
 
 
 @partial(jax.jit, static_argnames=("mode", "tile_args", "lambda_dssim",
-                                   "n_iters"))
+                                   "n_iters", "shared_state"))
 def _batched_pose_exec(states, bases, cameras, gts, lr, deltas, opts, it0,
                        n_total, *, mode="auto", tile_args=None,
-                       lambda_dssim=0.2, n_iters=EXEC_CHUNK):
+                       lambda_dssim=0.2, n_iters=EXEC_CHUNK,
+                       shared_state=False):
+    # shared_state: ONE frozen model serves every pose in the batch
+    # (eval_nvs test-time pose optimization) — broadcast instead of
+    # stacking B copies of the full Gaussian state
     step = jax.vmap(
         partial(_one_pose_step, mode=mode, tile_args=tile_args,
                 lambda_dssim=lambda_dssim),
-        in_axes=(0, 0, 0, 0, 0, 0, None))
+        in_axes=(None if shared_state else 0, 0, 0, 0, 0, 0, None))
 
     def body(it, carry):
         deltas, opts = carry
@@ -171,9 +175,14 @@ def _batched_pose_exec(states, bases, cameras, gts, lr, deltas, opts, it0,
 
 def batched_pose_fit(states, bases, cameras, gts, lr, *, mode="auto",
                      tile_args=None, lambda_dssim=0.2, n_iters=300,
-                     exec_chunk=EXEC_CHUNK):
+                     exec_chunk=EXEC_CHUNK, shared_state=False):
     """Optimize B SE(3) tangents against B frozen models (host-chunked
-    compiled loops — see EXEC_CHUNK). Returns [B, 6]."""
+    compiled loops — see EXEC_CHUNK). Returns [B, 6].
+
+    shared_state=True: `states` is ONE (unstacked) frozen model shared by
+    every pose in the batch — the eval_nvs test-time-pose-optimization
+    shape, where stacking B copies of the full scene model would blow HBM.
+    """
     B = gts.shape[0]
     deltas = jnp.zeros((B, 6), jnp.float32)
     opts = jax.vmap(lambda _: adam_lib.init(
@@ -185,7 +194,7 @@ def batched_pose_fit(states, bases, cameras, gts, lr, *, mode="auto",
         deltas, opts = _batched_pose_exec(
             states, bases, cameras, gts, lr, deltas, opts, it0, n_total,
             mode=mode, tile_args=tile_args, lambda_dssim=lambda_dssim,
-            n_iters=chunk)
+            n_iters=chunk, shared_state=shared_state)
         it0 = it0 + chunk
     return deltas
 

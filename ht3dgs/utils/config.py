@@ -80,6 +80,8 @@ class PipelineConfig:
     tile_max_per_tile: int = 0         # preset binning K (0 = renderer
     tile_dup_factor: int = 0           # default); avoids auto-grow
     #                                    recompiles on known-dense scenes
+    eval_nvs_batch: int = 16           # frames per batched test-time
+    #                                    pose-fit chunk (device-memory bound)
 
 
 @dataclass

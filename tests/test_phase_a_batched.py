@@ -75,6 +75,48 @@ def test_batched_matches_sequential(setup, tmp_path, monkeypatch):
     assert angg < 6.0
 
 
+def test_shared_state_pose_fit_matches_sequential():
+    """batched_pose_fit(shared_state=True) — the eval_nvs test-time pose
+    optimization — must reproduce the sequential per-frame pose_train_step
+    loop exactly (frames are independent; same Adam chain per frame)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ht3dgs.core import gaussians as G, se3
+    from ht3dgs.core.camera import intrinsics_from_fov, make_camera
+    from ht3dgs.raster import render
+    from ht3dgs.train import phase_a as pa, step as step_lib
+
+    rng = np.random.default_rng(3)
+    pts = rng.standard_normal((128, 3)).astype(np.float32) * 0.4
+    pts[:, 2] += 3.0
+    state = G.create_from_pcd(pts, rng.random((128, 3)).astype(np.float32),
+                              capacity=128)
+    cam = make_camera(40, 56, intrinsics_from_fov(1.2, 40, 56))
+    true = [jnp.asarray([0.02, -0.01, 0.01, 0.006, -0.008, 0.004]) * s
+            for s in (1.0, -0.7, 0.4)]
+    gts = [render(state, cam, pose=se3.se3_exp(t), mode="oracle")["image"]
+           for t in true]
+    lr, n_iters = jnp.asarray(1e-3), 40
+
+    seq = []
+    for gt in gts:
+        delta, opt = jnp.zeros(6), step_lib.init_pose_opt()
+        for _ in range(n_iters):
+            delta, opt, _ = step_lib.pose_train_step(
+                state, delta, se3.se3_identity(), opt, cam, gt, lr,
+                mode="oracle")
+        seq.append(np.asarray(delta))
+
+    bases = jnp.tile(jnp.asarray([0, 0, 0, 0, 0, 0, 1], jnp.float32),
+                     (3, 1))
+    batched = np.asarray(pa.batched_pose_fit(
+        state, bases, pa.stack_cameras([cam] * 3), jnp.stack(gts), lr,
+        mode="oracle", n_iters=n_iters, shared_state=True))
+    np.testing.assert_allclose(batched, np.stack(seq), atol=2e-5)
+
+
 def test_batched_vfi_composes(setup, tmp_path, monkeypatch):
     scene, d = setup
     monkeypatch.chdir(tmp_path)
