@@ -105,7 +105,7 @@ def _batched_fit_exec(states, opts, cameras, gts, lr_args, active, it0,
 
 def batched_fit(states, opts, cameras, gts, lr_args, *, mode="auto",
                 tile_args=None, lambda_dssim=0.2, n_iters=1000,
-                early_stop=True, exec_chunk=EXEC_CHUNK):
+                early_stop=True, exec_chunk=EXEC_CHUNK, stop_after=None):
     """Fit B local models to their target frames (host-chunked compiled
     loops — see EXEC_CHUNK).
 
@@ -115,8 +115,10 @@ def batched_fit(states, opts, cameras, gts, lr_args, *, mode="auto",
     """
     B = gts.shape[0]
     active = jnp.ones((B,), bool)
-    # early stop after min(500, iterations // 2), as the sequential path
-    stop_after = jnp.asarray(min(500, n_iters // 2), jnp.int32)
+    if stop_after is None:
+        # early stop after min(500, iterations // 2), as the sequential path
+        stop_after = min(500, n_iters // 2)
+    stop_after = jnp.asarray(stop_after, jnp.int32)
     n_total = jnp.asarray(n_iters, jnp.int32)
     chunk = min(exec_chunk, n_iters)
     it0 = jnp.asarray(0, jnp.int32)

@@ -75,6 +75,64 @@ def test_batched_matches_sequential(setup, tmp_path, monkeypatch):
     assert angg < 6.0
 
 
+def test_batched_fit_early_stop_freezes():
+    """The batched fit must reproduce the reference's early-stop dynamics
+    (PSNR>35 after the stop threshold freezes the model,
+    /root/reference/trainer/ht3dgs_trainer.py:299): once a model converges
+    past the threshold its params stop changing, while early_stop=False
+    keeps optimizing."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ht3dgs.core import adam as adam_lib, gaussians as G
+    from ht3dgs.core.camera import intrinsics_from_fov, make_camera
+    from ht3dgs.raster import render
+    from ht3dgs.train import phase_a as pa
+    from ht3dgs.train.losses import psnr
+
+    rng = np.random.default_rng(4)
+    pts = rng.standard_normal((96, 3)).astype(np.float32) * 0.4
+    pts[:, 2] += 3.0
+    gt_state = G.create_from_pcd(pts, rng.random((96, 3)).astype(np.float32),
+                                 capacity=96)
+    cam = make_camera(32, 48, intrinsics_from_fov(1.2, 32, 48))
+    gt = render(gt_state, cam, mode="oracle")["image"]
+    # near-converged start => crosses 35 dB quickly
+    start = dataclasses.replace(
+        gt_state, means=gt_state.means + 0.002 * jax.random.normal(
+            jax.random.PRNGKey(0), gt_state.means.shape))
+
+    def run(n_iters, early_stop):
+        states = pa.stack_states([start])
+        opts = pa.stack_states([adam_lib.init(start.params())])
+        cams = pa.stack_cameras([cam])
+        lr_args = (jnp.asarray([1e-4]), jnp.asarray([1e-5]), 1000,
+                   {k: jnp.asarray([v]) for k, v in
+                    {"sh_dc": 2.5e-3, "sh_rest": 1.25e-4,
+                     "opacity_logit": 5e-2, "log_scales": 5e-3,
+                     "quats": 1e-3}.items()})
+        states, _ = pa.batched_fit(states, opts, cams, gt[None], lr_args,
+                                   mode="oracle", n_iters=n_iters,
+                                   early_stop=early_stop, exec_chunk=10,
+                                   stop_after=20)
+        return jax.tree.map(lambda x: np.asarray(x[0]), states)
+
+    # sanity: this case does trigger the threshold
+    assert float(psnr(render(start, cam, mode="oracle")["image"], gt)) > 30
+
+    s60 = run(60, True)
+    s120 = run(120, True)
+    # both runs freeze at the same iteration (same stop_after=20), so the
+    # extra 60 iterations change nothing
+    np.testing.assert_array_equal(s120.means, s60.means)
+    np.testing.assert_array_equal(s120.sh_dc, s60.sh_dc)
+
+    s120_nostop = run(120, False)
+    assert not np.array_equal(s120_nostop.means, s60.means)
+
+
 def test_shared_state_pose_fit_matches_sequential():
     """batched_pose_fit(shared_state=True) — the eval_nvs test-time pose
     optimization — must reproduce the sequential per-frame pose_train_step
