@@ -61,26 +61,6 @@ def voxel_downsample(points: np.ndarray, colors: np.ndarray,
     return PointCloud(pts, cols.astype(np.float32), np.zeros_like(pts))
 
 
-def farthest_point_downsample(points: np.ndarray, colors: np.ndarray,
-                              num_samples: int) -> PointCloud:
-    """Greedy farthest-point sampling (open3d semantics; used when building
-    a pcd from a rendered frame, create_pcd_from_render)."""
-    n = len(points)
-    if n <= num_samples:
-        return PointCloud(points.astype(np.float32),
-                          colors.astype(np.float32),
-                          np.zeros_like(points, dtype=np.float32))
-    sel = np.empty(num_samples, dtype=np.int64)
-    sel[0] = 0
-    d = np.linalg.norm(points - points[0], axis=1)
-    for i in range(1, num_samples):
-        sel[i] = int(np.argmax(d))
-        d = np.minimum(d, np.linalg.norm(points - points[sel[i]], axis=1))
-    pts = points[sel].astype(np.float32)
-    return PointCloud(pts, colors[sel].astype(np.float32),
-                      np.zeros_like(pts))
-
-
 def pcd_from_depth_image(image: np.ndarray, depth: np.ndarray,
                          intrinsics: np.ndarray, voxel_size: float = 0.01,
                          down_sample: bool = True) -> PointCloud:

@@ -14,7 +14,11 @@ from scipy.spatial.transform import Rotation, Slerp
 
 def scipy_bspline(cv: np.ndarray, n: int = 100, degree: int = 3,
                   periodic: bool = False) -> np.ndarray:
-    """Sample an (optionally periodic) B-spline through control points."""
+    """Sample an (optionally periodic) B-spline through control points.
+
+    Knot-vector construction follows the widely circulated public
+    scipy B-spline sampling snippet (stackoverflow.com/a/35007804) that the
+    reference also vendors (`/root/reference/utils/vis_utils.py:98-125`)."""
     from scipy import interpolate
 
     cv = np.asarray(cv)

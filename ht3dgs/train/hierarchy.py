@@ -794,7 +794,9 @@ class HTGaussianTrainer(GaussianTrainer):
         num_iterations = o.single_step * (self.seq_len // 10) * 10
         o.iterations = num_iterations
         o.position_lr_max_steps = num_iterations
-        o.opacity_reset_interval = max(num_iterations // 10, 1)
+        o.opacity_reset_interval = (
+            o.opacity_reset_interval_override
+            or max(num_iterations // 10, 1))
         o.densify_until_iter = num_iterations
         o.reset_until_iter = int(num_iterations * 0.8)
         o.densify_from_iter = o.single_step

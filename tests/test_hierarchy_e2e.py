@@ -142,3 +142,25 @@ def test_partition_even_and_v1(dataset, tmp_path, monkeypatch):
     res = tr.partition(16, 2)
     assert res[0][0] == list(range(16))
     assert len(res[2]) == 4
+
+
+def test_derive_schedule_reset_override():
+    """opacity_reset_interval_override (toy-scale schedule correction)
+    replaces the derived num_iterations//10 cadence; unset keeps reference
+    parity (/root/reference/trainer/ht3dgs_trainer.py:675-681)."""
+    import dataclasses
+
+    from ht3dgs.utils.config import OptimizationConfig
+
+    tr = HTGaussianTrainer.__new__(HTGaussianTrainer)
+    tr.optim_cfg = OptimizationConfig(single_step=25)
+    tr.seq_len = 10
+    tr.sched = dataclasses.replace(tr.optim_cfg)
+    tr.derive_schedule()
+    assert tr.sched.opacity_reset_interval == 25  # 25*(10//10)*10 // 10
+
+    tr.optim_cfg = OptimizationConfig(
+        single_step=25, opacity_reset_interval_override=7777)
+    tr.sched = dataclasses.replace(tr.optim_cfg)
+    tr.derive_schedule()
+    assert tr.sched.opacity_reset_interval == 7777

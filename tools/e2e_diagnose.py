@@ -21,6 +21,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def rot_err_deg(Ra, Rb):
@@ -50,62 +51,20 @@ def main():
     from ht3dgs.utils.config import load_configs
     from ht3dgs.train.hierarchy import HTGaussianTrainer
     from ht3dgs.eval.pose_eval import evaluate_poses
+    from _tiers import apply_tier, tier_dims
 
     os.makedirs(out_dir, exist_ok=True)
     data_dir = os.path.join(out_dir, "data")
-    if full:
-        h, w, n_frames = 192, 256, 16
-    elif medium:
-        h, w, n_frames = 160, 208, 12
-    else:
-        h, w, n_frames = 96, 128, 10
+    tier = "full" if full else ("medium" if medium else "quick")
+    h, w, n_frames = tier_dims(tier)
     gt_w2c, _ = photo_scene.write_dataset(data_dir, n_frames=n_frames,
                                           height=h, width=w)
 
     model, pipe, optim = load_configs()
-    model.eval = False
-    model.source_path = data_dir
-    model.data_type = "blender"
+    apply_tier(tier, model, pipe, optim, data_dir)
     model.expname = "diag"
-    model.category = "photo"
-    model.seq_name = "hopper"
-    pipe.train_level = 1
-    pipe.render_mode = "tiled"
-    pipe.depth_provider = "precomputed"
-    pipe.depth_dir = os.path.join(data_dir, "depth")
-    if full:
-        pipe.init_max_points = 20_000
-        pipe.phase_a_batch = 4
-        pipe.tile_max_per_tile = 2048
-        pipe.tile_dup_factor = 32
-        optim.single_step = 100
-        optim.phase_a_fit_iters = 400
-        optim.phase_a_pose_iters = 150
-        optim.leaf_init_iters = 400
-    elif medium:
-        pipe.init_max_points = 4_000
-        pipe.phase_a_batch = 4
-        optim.single_step = 80
-        optim.phase_a_fit_iters = 300
-        optim.phase_a_pose_iters = 120
-        optim.leaf_init_iters = 300
-        optim.mss_phase1_iteration_per_frame = 10
-        optim.densification_interval = 100
-        optim.densification_interval_leaf = 100
-        optim.densify_from_iter = 50
-    else:
-        pipe.init_max_points = 400
-        optim.single_step = 25
-        optim.phase_a_fit_iters = 80
-        optim.phase_a_pose_iters = 60
-        optim.leaf_init_iters = 80
-        optim.reset_recovery_iters = 5
-        optim.mss_phase1_iteration_per_frame = 4
-        optim.densification_interval = 60
-        optim.densification_interval_leaf = 60
-        optim.densify_from_iter = 30
 
-    report = {"tier": "full" if full else ("medium" if medium else "quick"),
+    report = {"tier": tier,
               "seed": seed, "gt_poses": gt_poses_mode, "stages": {}}
 
     def emit(stage, payload):

@@ -18,6 +18,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
@@ -38,68 +39,17 @@ def main():
     from ht3dgs.utils.config import load_configs
     from ht3dgs.train.hierarchy import HTGaussianTrainer
     from ht3dgs.eval.pose_eval import evaluate_poses
+    from _tiers import apply_tier, tier_dims
 
     os.makedirs(out_dir, exist_ok=True)
     data_dir = os.path.join(out_dir, "data")
-    if full:
-        # sized for the remote (axon) single-chip service: the 288x384/24f
-        # variant's post-merge root phase (auto-grown capacities on the
-        # ~200k-gaussian merged model) exceeds the service's tolerance
-        h, w, n_frames = 192, 256, 16
-    elif medium:
-        h, w, n_frames = 160, 208, 12
-    else:
-        h, w, n_frames = 96, 128, 10
+    tier = "full" if full else ("medium" if medium else "quick")
+    h, w, n_frames = tier_dims(tier)
     gt_w2c, _ = photo_scene.write_dataset(data_dir, n_frames=n_frames,
                                           height=h, width=w)
 
     model, pipe, optim = load_configs()
-    model.eval = False
-    model.source_path = data_dir
-    model.data_type = "blender"
-    model.expname = "real_bench"
-    model.category = "photo"
-    model.seq_name = "hopper"
-    pipe.train_level = 1
-    pipe.render_mode = "tiled"
-    pipe.depth_provider = "precomputed"
-    pipe.depth_dir = os.path.join(data_dir, "depth")
-    if full:
-        # ~110k unprojected points/frame at 288x384; cap the init clouds and
-        # the Phase A batch so 8 concurrent local models fit 16G HBM
-        pipe.init_max_points = 20_000
-        pipe.phase_a_batch = 4
-        # preset binning capacities for this dense close-range scene: the
-        # auto-grow otherwise recompiles the big leaf graph mid-run
-        # (minutes over the remote tunnel per growth step)
-        pipe.tile_max_per_tile = 2048
-        pipe.tile_dup_factor = 32
-        optim.single_step = 100
-        optim.phase_a_fit_iters = 400
-        optim.phase_a_pose_iters = 150
-        optim.leaf_init_iters = 400
-    elif medium:
-        pipe.init_max_points = 4_000
-        pipe.phase_a_batch = 4
-        optim.single_step = 80
-        optim.phase_a_fit_iters = 300
-        optim.phase_a_pose_iters = 120
-        optim.leaf_init_iters = 300
-        optim.mss_phase1_iteration_per_frame = 10
-        optim.densification_interval = 100
-        optim.densification_interval_leaf = 100
-        optim.densify_from_iter = 50
-    else:
-        pipe.init_max_points = 400
-        optim.single_step = 25
-        optim.phase_a_fit_iters = 80
-        optim.phase_a_pose_iters = 60
-        optim.leaf_init_iters = 80
-        optim.reset_recovery_iters = 5
-        optim.mss_phase1_iteration_per_frame = 4
-        optim.densification_interval = 60
-        optim.densification_interval_leaf = 60
-        optim.densify_from_iter = 30
+    apply_tier(tier, model, pipe, optim, data_dir)
 
     cwd = os.getcwd()
     os.chdir(out_dir)
@@ -112,7 +62,6 @@ def main():
     finally:
         os.chdir(cwd)
 
-    tier = "full" if full else ("medium" if medium else "quick")
     line = (f"| photo-plane ({w}x{h}, {n_frames}f, "
             f"{tier}) | {psnr:.2f} dB | "
             f"{stats['ATE'] * 100:.3f} | "
