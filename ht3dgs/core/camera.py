@@ -93,7 +93,10 @@ class Camera:
         proj = proj.at[2, 2].set(ZFAR / (ZFAR - ZNEAR))
         proj = proj.at[2, 3].set(-(ZFAR * ZNEAR) / (ZFAR - ZNEAR))
         proj = proj.at[3, 2].set(1.0)
-        return proj @ self.world_view
+        # HIGHEST: TPU default matmul precision is bf16; the projection
+        # matrix feeds every screen-space coordinate (raster/projection.py)
+        return jnp.matmul(proj, self.world_view,
+                          precision=jax.lax.Precision.HIGHEST)
 
     @property
     def camera_center(self):
@@ -101,7 +104,7 @@ class Camera:
 
         R = self.world_view[:3, :3]
         t = self.world_view[:3, 3]
-        return -R.T @ t
+        return -jnp.matmul(R.T, t, precision=jax.lax.Precision.HIGHEST)
 
 
 def make_camera(

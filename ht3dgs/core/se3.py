@@ -157,7 +157,7 @@ def _so3_left_jacobian(phi: jax.Array) -> jax.Array:
     theta_sq_safe = jnp.where(small, 1.0, theta_sq)
     theta = jnp.sqrt(theta_sq_safe)
     Phi = _hat(phi)
-    Phi2 = Phi @ Phi
+    Phi2 = jnp.matmul(Phi, Phi, precision=jax.lax.Precision.HIGHEST)
     a = jnp.where(small, 0.5 - theta_sq / 24.0,
                   (1.0 - jnp.cos(theta)) / theta_sq_safe)
     b = jnp.where(
@@ -175,7 +175,7 @@ def _so3_left_jacobian_inv(phi: jax.Array) -> jax.Array:
     theta_sq_safe = jnp.where(small, 1.0, theta_sq)
     theta = jnp.sqrt(theta_sq_safe)
     Phi = _hat(phi)
-    Phi2 = Phi @ Phi
+    Phi2 = jnp.matmul(Phi, Phi, precision=jax.lax.Precision.HIGHEST)
     half_theta = 0.5 * theta
     sin_half = jnp.where(small, 1.0, jnp.sin(half_theta))
     # coefficient for Phi2: (1/theta^2)(1 - theta*cot(theta/2)/2)
@@ -228,7 +228,8 @@ def se3_exp(tau: jax.Array) -> jax.Array:
     w = tau[..., 3:6]
     q = so3_exp(w)
     V = _so3_left_jacobian(w)
-    t = jnp.einsum("...ij,...j->...i", V, v)
+    t = jnp.einsum("...ij,...j->...i", V, v,
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.concatenate([t, q], axis=-1)
 
 
@@ -237,7 +238,8 @@ def se3_log(pose: jax.Array) -> jax.Array:
     q = quat_normalize(pose[..., 3:7])
     w = so3_log(q)
     Vinv = _so3_left_jacobian_inv(w)
-    v = jnp.einsum("...ij,...j->...i", Vinv, pose[..., :3])
+    v = jnp.einsum("...ij,...j->...i", Vinv, pose[..., :3],
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.concatenate([v, w], axis=-1)
 
 

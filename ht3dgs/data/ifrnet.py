@@ -33,7 +33,8 @@ def conv2d(x, w_oihw, b, stride=1, padding=1):
     w = jnp.transpose(w_oihw, (2, 3, 1, 0))  # OIHW -> HWIO
     y = jax.lax.conv_general_dilated(
         x, w, (stride, stride), [(padding, padding), (padding, padding)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
     return y + b
 
 
@@ -47,7 +48,8 @@ def conv_transpose2d_k4s2p1(x, w_iohw, b):
         x, w, window_strides=(1, 1),
         padding=[(2, 2), (2, 2)],
         lhs_dilation=(2, 2),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
     return y + b
 
 

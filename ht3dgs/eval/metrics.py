@@ -98,7 +98,8 @@ def lpips(img0, img1) -> float:
             kern = jnp.asarray(w[f"conv{ci}_w"]).transpose(2, 3, 1, 0)
             x = jax.lax.conv_general_dilated(
                 x, kern, (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST)
             x = x + jnp.asarray(w[f"conv{ci}_b"])
             x = jax.nn.relu(x)
             if ci in _TAPS:

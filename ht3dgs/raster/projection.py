@@ -71,7 +71,9 @@ def compute_cov3d(scales: jax.Array, quats: jax.Array,
     """Σ = L Lᵀ with L = R(q) diag(s·mod). Returns [N, 3, 3]."""
     R = quat_to_rotmat(quats)
     L = R * (scales * scale_modifier)[..., None, :]
-    return L @ jnp.swapaxes(L, -1, -2)
+    # HIGHEST: TPU default matmul precision is bf16 (see project())
+    return jnp.matmul(L, jnp.swapaxes(L, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def project(
@@ -110,12 +112,25 @@ def project(
     Rcw = W[:3, :3]
     tcw = W[:3, 3]
 
-    p_view = means3d @ Rcw.T + tcw
+    # Point transforms unrolled over scalar columns: a [N,3]@[3,3] jnp
+    # matmul executes on the TPU MXU at DEFAULT precision = bf16 inputs —
+    # ~0.4% relative coordinate error, which at scene scale is a multi-pixel
+    # screen-space distortion that silently degrades pose fitting on TPU
+    # while every CPU test stays exact. Elementwise math is f32 on every
+    # backend (and for K=3 costs the same).
+    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+
+    def _xform_rows(M3, t3):
+        return [mx * M3[j, 0] + my * M3[j, 1] + mz * M3[j, 2] + t3[j]
+                for j in range(M3.shape[0])]
+
+    p_view = jnp.stack(_xform_rows(Rcw, tcw), axis=-1)
     depths = p_view[:, 2]
 
     # --- perspective projection to pixels --------------------------------
     full_proj = camera.full_proj
-    p_hom = means3d @ full_proj[:, :3].T + full_proj[:, 3]
+    p_hom = jnp.stack(_xform_rows(full_proj[:, :3], full_proj[:, 3]),
+                      axis=-1)
     inv_w = 1.0 / (p_hom[:, 3] + 1e-7)
     ndc = p_hom[:, :3] * inv_w[:, None]
     px = ((ndc[:, 0] + 1.0) * camera.width - 1.0) * 0.5

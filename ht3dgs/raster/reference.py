@@ -57,8 +57,12 @@ def blend_chunk(carry, chunk, px, py):
     kept = (T_after >= T_EPS) & ~done[None]
     w = jnp.where(kept, alpha * T_before, 0.0)
 
-    rgb = rgb + jnp.einsum("chw,cd->hwd", w, colors)
-    dep = dep + jnp.einsum("chw,c->hw", w, g_depth)
+    # HIGHEST: the oracle is the parity ground truth — its accumulation must
+    # be f32-exact on every backend (TPU default einsum precision is bf16)
+    rgb = rgb + jnp.einsum("chw,cd->hwd", w, colors,
+                           precision=jax.lax.Precision.HIGHEST)
+    dep = dep + jnp.einsum("chw,c->hw", w, g_depth,
+                           precision=jax.lax.Precision.HIGHEST)
     T = T * jnp.prod(jnp.where(kept, one_minus, 1.0), axis=0)
     done = done | (T_after[-1] < T_EPS)
     return (T, rgb, dep, done), None

@@ -35,12 +35,16 @@ def _depthwise_blur(x: jax.Array, window: np.ndarray) -> jax.Array:
     kx = jnp.asarray(window).reshape(1, k, 1, 1) * jnp.ones((1, 1, 1, C))
     ky = jnp.asarray(window).reshape(k, 1, 1, 1) * jnp.ones((1, 1, 1, C))
     y = x[None]
+    # HIGHEST: TPU conv default precision is bf16; SSIM feeds the training
+    # loss, so keep it f32-exact like the reference's torch conv
     y = jax.lax.conv_general_dilated(
         y, kx, (1, 1), [(0, 0), (pad, pad)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST)
     y = jax.lax.conv_general_dilated(
         y, ky, (1, 1), [(pad, pad), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST)
     return y[0]
 
 
