@@ -37,6 +37,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 CUDA_NOMINAL_MPS = 50.0
 
 
+def load_ckpt_scene(path):
+    """Load a post-merge training checkpoint (hierarchy.save_checkpoint
+    format) as a bench scene: the REAL workload class VERDICT r3 asked for
+    (synthetic clouds under-represent trained anisotropy/opacity mix)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ht3dgs.core import gaussians as G
+    from ht3dgs.core.gaussians import GaussianState
+
+    z = np.load(path)
+    state = GaussianState(
+        **{f: jnp.asarray(z[f]) for f in G.PARAM_FIELDS},
+        live=jnp.asarray(z["live"]),
+        max_radii2d=jnp.asarray(z["max_radii2d"]),
+        grad_accum=jnp.asarray(z["grad_accum"]),
+        grad_denom=jnp.asarray(z["grad_denom"]),
+        active_sh_degree=jnp.asarray(z["active_sh_degree"]),
+        max_sh_degree=int(z["max_sh_degree"]),
+    )
+    poses = z["poses"] if "poses" in z and z["poses"].size else None
+    w2c = poses[0] if poses is not None else np.eye(4, dtype=np.float32)
+    return state, w2c
+
+
 def main():
     import dataclasses
 
@@ -47,9 +72,29 @@ def main():
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
     stress = "--stress" in sys.argv
+    validate = "--validate" in sys.argv
+    ckpt = None
+    if "--ckpt" in sys.argv:
+        ckpt = sys.argv[sys.argv.index("--ckpt") + 1]
 
     # scale the workload down on CPU so the bench still runs in CI
-    if on_tpu and stress:
+    if ckpt is not None:
+        # real trained checkpoint at 1080p (intrinsics scale with
+        # resolution; fovx matches the photo scene's 1.1). Default
+        # operating point = the production presets the scene trained at;
+        # sweep with --k/--dup. Drop counters are reported so the kept
+        # point can be shown overflow-free.
+        n_gauss, H, W = None, 1080, 1920
+        k = int(sys.argv[sys.argv.index("--k") + 1]) \
+            if "--k" in sys.argv else 2048
+        dup = int(sys.argv[sys.argv.index("--dup") + 1]) \
+            if "--dup" in sys.argv else 32
+        tile_args = dict(tile_h=16, tile_w=16, max_per_tile=k,
+                         dup_factor=dup,
+                         backend="pallas" if on_tpu else "xla",
+                         route_bf16=on_tpu)
+        iters = 10 if on_tpu else 2
+    elif on_tpu and stress:
         # rounds 1-2 scene: uniform opacity-0.1 init cloud (no termination,
         # saturated tiles). Operating point from tools/capdup_sweep.py.
         n_gauss, H, W = 1_000_000, 1080, 1920
@@ -79,6 +124,15 @@ def main():
     from ht3dgs.raster import render
 
     rng = np.random.default_rng(0)
+    if ckpt is not None:
+        state, w2c = load_ckpt_scene(ckpt)
+        n_gauss = int(state.n_live())
+        cam = make_camera(H, W, intrinsics_from_fov(1.1, H, W),
+                          world_view=w2c)
+        target = jnp.zeros((H, W, 3), jnp.float32)
+        return run_timed(state, cam, target, tile_args, iters, H, W,
+                         n_gauss, backend, f"ckpt scene ({ckpt})",
+                         validate, report_drops=True)
     pts = rng.standard_normal((n_gauss, 3)).astype(np.float32) * 1.5
     pts[:, 2] += 6.0
     colors = rng.random((n_gauss, 3)).astype(np.float32)
@@ -94,11 +148,23 @@ def main():
         state = dataclasses.replace(state, opacity_logit=jnp.asarray(logit))
     cam = make_camera(H, W, intrinsics_from_fov(1.2, H, W))
     target = jnp.zeros((H, W, 3), jnp.float32)
+    scene = "stress scene" if stress else "trained-stats scene"
+    run_timed(state, cam, target, tile_args, iters, H, W, n_gauss,
+              backend, scene, validate)
+
+
+def run_timed(state, cam, target, tile_args, iters, H, W, n_gauss,
+              backend, scene, validate, report_drops=False):
+    import dataclasses
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ht3dgs.raster import render
 
     @jax.jit
     def step(means, sh_dc, opacity_logit):
-        import dataclasses
-
         def loss_fn(m, s, o):
             st = dataclasses.replace(state, means=m, sh_dc=s,
                                      opacity_logit=o)
@@ -126,7 +192,6 @@ def main():
     dt = (time.time() - t0) / iters
 
     mpix_per_s = (H * W / 1e6) / dt
-    scene = "stress scene" if stress else "trained-stats scene"
     result = {
         "metric": "fwd+bwd megapixels/s/chip "
                   f"({n_gauss // 1000}k Gaussians, {W}x{H}, {backend}, "
@@ -135,6 +200,27 @@ def main():
         "unit": "MP/s",
         "vs_baseline": round(mpix_per_s / CUDA_NOMINAL_MPS, 4),
     }
+    if report_drops or validate:
+        out = jax.jit(lambda: render(state, cam, mode="tiled",
+                                     tile_args=tile_args))()
+        if report_drops:
+            result["n_dropped_m"] = int(out.get("n_dropped_m", 0))
+            result["n_dropped_tile"] = int(out.get("n_dropped_tile", 0))
+        if validate:
+            # on-device parity gate (VERDICT r3 weak #8: a TPU-only
+            # miscompile once flatlined training while CPU tests stayed
+            # green). Render the same scene through the exact reference
+            # configuration — f32 routing, XLA blend, capacity headroom —
+            # and report the max image deviation; adoption rule 1e-3.
+            exact_args = dict(tile_args, backend="xla", route_bf16=False,
+                              max_per_tile=max(512,
+                                               tile_args["max_per_tile"]),
+                              dup_factor=max(8, tile_args["dup_factor"]))
+            ref = jax.jit(lambda: render(state, cam, mode="tiled",
+                                         tile_args=exact_args))()
+            dev = float(jnp.max(jnp.abs(out["image"] - ref["image"])))
+            result["validate_max_image_dev"] = round(dev, 8)
+            result["validate_ok"] = bool(dev < 1e-3)
     print(json.dumps(result))
 
 
