@@ -78,6 +78,45 @@ def _seg_ffill(key: jax.Array, pb: int) -> jax.Array:
     return out.reshape(nb * B)[:L]
 
 
+def _seg_ffill_pos(key: jax.Array, pb: int):
+    """`_seg_ffill` that ALSO returns, per position, the 1-based GLOBAL
+    index of the set position each payload came from (0 before the first).
+
+    One full-length cummax instead of _seg_ffill-for-the-payload plus a
+    second full-length change-detect + cummax chain for the position (the
+    old pos_ff recipe in _binning_impl): the blocked cummax already carries
+    (local_pos << pb | payload) — the block decomposition turns the local
+    position global, and the inter-block carry needs only [nb]-sized ops
+    (nb = L/B blocks) plus one tiny gather."""
+    L = key.shape[0]
+    mask = (1 << pb) - 1
+    B = 1 << (30 - pb)
+    if L <= B:
+        pos = jnp.arange(L, dtype=jnp.int32) + 1
+        c = jax.lax.cummax(
+            jnp.where(key != 0, (pos << pb) | (key & mask), 0))
+        return c & mask, c >> pb
+    nb = _cdiv(L, B)
+    kp = jnp.pad(key, (0, nb * B - L)).reshape(nb, B)
+    local = (jnp.arange(B, dtype=jnp.int32) + 1)[None, :]
+    c1 = jax.lax.cummax(
+        jnp.where(kp != 0, (local << pb) | (kp & mask), 0), axis=1)
+    last = c1[:, -1]                                  # [nb]
+    # inter-block carry: which block supplies each block's prefix
+    cb = jax.lax.cummax(jnp.where(
+        last != 0, jnp.arange(nb, dtype=jnp.int32) + 1, 0))
+    cb_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), cb[:-1]])
+    src_blk = jnp.maximum(cb_prev - 1, 0)
+    carry_last = jnp.take(last, src_blk)              # [nb] — tiny gather
+    carry_val = jnp.where(cb_prev > 0, carry_last & mask, 0)
+    carry_pos = jnp.where(cb_prev > 0,
+                          src_blk * B + (carry_last >> pb), 0)
+    blk_base = (jnp.arange(nb, dtype=jnp.int32) * B)[:, None]
+    val = jnp.where(c1 != 0, c1 & mask, carry_val[:, None])
+    pos = jnp.where(c1 != 0, blk_base + (c1 >> pb), carry_pos[:, None])
+    return (val.reshape(nb * B)[:L], pos.reshape(nb * B)[:L])
+
+
 def _pack_attr_rows(proj: Projected) -> jax.Array:
     """[N, 16]: mx, my, ca, cb, cc, r, g, b, op, depth, ex, ey, pad..."""
     depths = jnp.where(jnp.isfinite(proj.depths), proj.depths, 0.0)
@@ -243,27 +282,29 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
     else:
         pb = max(int(N).bit_length(), 1)
         assert pb <= 27, f"capacity {N} overflows the ffill payload"
+        # `offs` is strictly increasing over the has-prefix (span >= 1,
+        # zero-span/culled rows depth-sort to the end), so the segment
+        # starts scatter at sorted unique in-bounds targets — the hints
+        # turn XLA's serial scatter into a vectorized masked store, and
+        # out-of-range rows are dropped instead of parked at M-1
         has = (span > 0) & (offs < M)
-        tgt = jnp.where(has, offs, M - 1)
-        src = jnp.clip(_seg_ffill(
-            jnp.zeros((M,), jnp.int32).at[tgt].max(
-                jnp.where(has, order + 1, 0)), pb) - 1, 0, N - 1)
-
+        tgt = jnp.where(has, offs, M)
+        starts_src = jnp.zeros((M,), jnp.int32).at[tgt].set(
+            order + 1, mode="drop", indices_are_sorted=True,
+            unique_indices=True)
         # per-entry tile geometry, gather-free: forward-fill (x0, y0,
         # span_x) bit-packed into one payload (each < 2^bits; 3*bits <= 27
         # holds to ~8K resolutions) from each segment start via the
-        # blocked-cummax fill. The segment-start slot needs no scatter of
-        # its own: adjacent segments always belong to different gaussians
-        # (each appears once in the depth order), so starts are exactly
-        # the src transitions.
-        pay_ff = _seg_ffill(
-            jnp.zeros((M,), jnp.int32).at[tgt].max(
-                jnp.where(has, packed_d, 0)),
-            3 * bits)
-
-        chg = src != jnp.concatenate(
-            [jnp.full((1,), -1, jnp.int32), src[:-1]])
-        pos_ff = jax.lax.cummax(jnp.where(chg, m + 1, 0))
+        # blocked-cummax fill
+        starts_pay = jnp.zeros((M,), jnp.int32).at[tgt].set(
+            packed_d, mode="drop", indices_are_sorted=True,
+            unique_indices=True)
+        # the src fill also yields each entry's segment-start POSITION
+        # (one blocked cummax carries both), replacing the old separate
+        # change-detect + cummax chain for `local`
+        src_f, pos_ff = _seg_ffill_pos(starts_src, pb)
+        src = jnp.clip(src_f - 1, 0, N - 1)
+        pay_ff = _seg_ffill(starts_pay, 3 * bits)
         local = m - (pos_ff - 1)
         mask = (1 << bits) - 1
         sx = jnp.maximum(pay_ff & mask, 1)

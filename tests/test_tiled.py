@@ -160,3 +160,32 @@ def test_bf16_route_grads_close():
     scale = np.abs(g0).max()
     assert np.all(np.isfinite(g1))
     assert np.max(np.abs(g1 - g0)) < 8e-3 * scale
+
+
+def test_seg_ffill_pos_matches_reference():
+    """_seg_ffill_pos: payload fill must match _seg_ffill and the returned
+    position must be the 1-based global index of the supplying set slot —
+    including across block boundaries of the blocked-cummax recursion."""
+    from ht3dgs.raster.tiled import _seg_ffill, _seg_ffill_pos
+
+    rng = np.random.default_rng(0)
+    pb = 21  # block size 2^9 = 512 -> the 5000-long key spans ~10 blocks
+    for L in (5000, 512, 511, 513, 37):
+        key = np.zeros(L, np.int32)
+        n_set = max(3, L // 97)
+        idx = np.sort(rng.choice(L, size=n_set, replace=False))
+        key[idx] = rng.integers(1, 1 << pb, size=n_set)
+        val, pos = _seg_ffill_pos(jnp.asarray(key), pb)
+        val, pos = np.asarray(val), np.asarray(pos)
+        np.testing.assert_array_equal(
+            val, np.asarray(_seg_ffill(jnp.asarray(key), pb)))
+        # numpy reference
+        ref_val = np.zeros(L, np.int64)
+        ref_pos = np.zeros(L, np.int64)
+        cur_v, cur_p = 0, 0
+        for i in range(L):
+            if key[i] != 0:
+                cur_v, cur_p = key[i], i + 1
+            ref_val[i], ref_pos[i] = cur_v, cur_p
+        np.testing.assert_array_equal(val, ref_val)
+        np.testing.assert_array_equal(pos, ref_pos)
