@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from functools import partial
 import random
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -35,6 +36,7 @@ from ..core import gaussians as G
 from ..core import se3
 from ..core.gaussians import GaussianState
 from ..data.pointcloud import PointCloud
+from ..raster import render
 from . import step as step_lib
 from .trainer import GaussianTrainer
 
@@ -851,6 +853,29 @@ class HTGaussianTrainer(GaussianTrainer):
 
         for level in range(self.train_level, -1, -1):
             seg_lists = lists[level]
+
+            # multi-chip: sibling non-leaf segments are data-independent
+            # until their own merge — run phase 1/2 for chunks of Sp of
+            # them concurrently (Sp = 1 still tile-shards the root's
+            # images over the mesh)
+            nonleaf_pretrained = set()
+            if level < self.train_level and (S > 1 or n_tiles > 1):
+                from . import parallel_nonleaf as pnl
+
+                Sp = min(S, len(seg_lists))
+                if len(jax.devices()) >= Sp * n_tiles:
+                    for i0 in range(0, len(seg_lists)
+                                    - (len(seg_lists) % Sp), Sp):
+                        idxs = list(range(i0, i0 + Sp))
+                        chunk = [bundles[level][i] for i in idxs]
+                        kids = ([tuple(bundles[level + 1][2 * i: 2 * i + 2])
+                                 for i in idxs] if use_base else None)
+                        with self.timer.phase("nonleaf_parallel"):
+                            pnl.train_nonleaf_segments_parallel(
+                                self, chunk, [seg_lists[i] for i in idxs],
+                                level, children_pairs=kids)
+                        nonleaf_pretrained.update(idxs)
+
             for seg_idx, frames in enumerate(seg_lists):
                 self.logger.info(f"level {level} seg {seg_idx}: {frames}")
                 if level == self.train_level:
@@ -861,6 +886,9 @@ class HTGaussianTrainer(GaussianTrainer):
                         bundles[level][seg_idx] = bundle
                     else:
                         self.global_iteration = bundle.global_iteration
+                elif seg_idx in nonleaf_pretrained:
+                    bundle = bundles[level][seg_idx]  # parallel-pre-trained
+                    self.global_iteration = bundle.global_iteration
                 else:
                     bundle = bundles[level][seg_idx]  # restored from child
                     if use_base:
@@ -953,18 +981,46 @@ class HTGaussianTrainer(GaussianTrainer):
         return p, out
 
     def evaluate_on_training_images(self, save_images: bool = True):
+        """Train-view PSNR sweep. Frames render vmap-BATCHED in chunks of
+        `eval_batch` (one device dispatch per chunk instead of one per
+        frame — the sequential per-frame loop crawled on the remote TPU
+        service exactly like pre-round-2 Phase A; reference equivalent is
+        the eval loop at trainer/ht3dgs_trainer.py:1100-1140)."""
         from ..utils.image import save_image
+        from . import phase_a as pa
 
         out_dir = os.path.join(self.result_path, "eval")
+        bundle = self.gs_bundle
+        B = max(1, int(getattr(self.pipe_cfg, "eval_batch", 8)))
         psnrs = []
-        for fidx in range(self.seq_len):
-            p, out = self.render_frame(self.gs_bundle, fidx)
-            psnrs.append(p)
-            if save_images:
-                save_image(os.path.join(out_dir, f"{fidx:03d}.png"),
-                           np.asarray(out["image"]),
-                           gt_image=self.load_image(fidx))
-            self.logger.info(f"Frame {fidx}: PSNR = {p:.3f}")
+
+        @partial(jax.jit, static_argnames=("mode", "tile_args"))
+        def render_chunk(state, cams, mode, tile_args):
+            def one(cam):
+                return render(state, cam, mode=mode,
+                              tile_args=dict(tile_args) if tile_args
+                              else None)["image"]
+
+            return jax.vmap(one)(cams)
+
+        for c0 in range(0, self.seq_len, B):
+            idxs = list(range(c0, min(c0 + B, self.seq_len)))
+            # pad the tail chunk to B so every dispatch reuses one graph
+            padded = idxs + [idxs[-1]] * (B - len(idxs))
+            cams = pa.stack_cameras(
+                [self.camera_for(f, pose=bundle.get_RT(f))
+                 for f in padded])
+            imgs = np.asarray(render_chunk(
+                bundle.state, cams, self._mode, self._tile_args))
+            for k, fidx in enumerate(idxs):
+                gt = self.load_image(fidx)
+                mse = float(np.mean((imgs[k] - gt) ** 2))
+                p = -10.0 * float(np.log10(max(mse, 1e-12)))
+                psnrs.append(p)
+                if save_images:
+                    save_image(os.path.join(out_dir, f"{fidx:03d}.png"),
+                               imgs[k], gt_image=gt)
+                self.logger.info(f"Frame {fidx}: PSNR = {p:.3f}")
         mean_psnr = float(np.mean(psnrs))
         self.logger.info(f"train-view mean PSNR: {mean_psnr:.3f}")
         print(f"train-view mean PSNR: {mean_psnr:.3f}")

@@ -90,6 +90,10 @@ def main():
     ]
     if tier == "medium":
         configs = [("vfi120", "vfi", 120), ("direct240", None, 240)]
+    only = os.environ.get("ABLATE_ONLY")
+    if only:
+        want = set(only.split(","))
+        configs = [c for c in configs if c[0] in want]
     summary = {}
     for label, mode, iters in configs:
         summary[label] = run(label, mode, iters)
