@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Measured pod-scaling model for the tile-sharded train step (VERDICT r3
+missing #3 / weak #7: the old RESULTS.md projection assumed linear scaling,
+but under tile sharding each chip still pays the N-bound binning work —
+depth co-sort over N and the static M = N*dup fills/sort do NOT divide by
+n_tiles; only the T-bound stages (ent gather, blend, loss) do).
+
+Measures the REAL single-chip fwd+bwd step at row-block heights
+H, H/2, H/4, H/8 (exactly the per-chip work of a 1/2/4/8-way tile shard,
+via the same shifted-cy block camera the mesh step uses) on the bench
+scene, and prints a per-stage-honest pod projection:
+
+    step_pod(n) ~= measured_block(H/n) + collective_overhead
+
+(collectives: one psum of the parameter grads per step — bandwidth
+~P bytes over ICI, small vs the binning residue).
+
+Usage: python tools/pod_scaling_probe.py [--stress]
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ht3dgs.core import gaussians as G
+    from ht3dgs.core.camera import intrinsics_from_fov, make_camera
+    from ht3dgs.raster import render
+
+    stress = "--stress" in sys.argv
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu:
+        n_gauss, H, W = 1_000_000, 1080, 1920
+        tile_args = dict(tile_h=16, tile_w=16,
+                         max_per_tile=384 if stress else 128,
+                         dup_factor=4 if stress else 2,
+                         backend="pallas", route_bf16=True)
+        iters = 10
+    else:
+        n_gauss, H, W = 20_000, 216, 384
+        tile_args = dict(tile_h=16, tile_w=16, max_per_tile=512,
+                         dup_factor=16, backend="xla")
+        iters = 2
+
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((n_gauss, 3)).astype(np.float32) * 1.5
+    pts[:, 2] += 6.0
+    colors = rng.random((n_gauss, 3)).astype(np.float32)
+    state = G.create_from_pcd(pts, colors, capacity=n_gauss)
+    if not stress:
+        u = rng.random(n_gauss)
+        op = np.where(
+            u < 0.45, rng.uniform(0.60, 0.99, n_gauss),
+            np.where(u < 0.75, rng.uniform(0.15, 0.60, n_gauss),
+                     rng.uniform(0.01, 0.15, n_gauss))).astype(np.float32)
+        logit = np.log(op / (1 - op)).astype(np.float32)[:, None]
+        state = dataclasses.replace(state,
+                                    opacity_logit=jnp.asarray(logit))
+
+    cam_full = make_camera(H, W, intrinsics_from_fov(1.2, H, W))
+    rows = []
+    for n_tiles in (1, 2, 4, 8):
+        bh = H // n_tiles
+        # the mesh's block camera for the MIDDLE shard (worst-case density)
+        row0 = (n_tiles // 2) * bh if n_tiles > 1 else 0
+        cam = dataclasses.replace(
+            cam_full, cy=cam_full.cy - float(row0), height=bh,
+            clip_tan_x=cam_full.tan_half_fovx,
+            clip_tan_y=cam_full.tan_half_fovy)
+        target = jnp.zeros((bh, W, 3), jnp.float32)
+
+        @jax.jit
+        def step(means, sh_dc, opacity_logit, cam=cam, target=target):
+            def loss_fn(m, s, o):
+                st = dataclasses.replace(state, means=m, sh_dc=s,
+                                         opacity_logit=o)
+                out = render(st, cam, mode="tiled", tile_args=tile_args)
+                return jnp.mean((out["image"] - target) ** 2)
+
+            l, g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+                means, sh_dc, opacity_logit)
+            return l, g
+
+        l, g = step(state.means, state.sh_dc, state.opacity_logit)
+        float(l)
+        t0 = time.time()
+        for _ in range(iters):
+            l, g = step(state.means, state.sh_dc, state.opacity_logit)
+        float(l)
+        ms = (time.time() - t0) / iters * 1000.0
+        rows.append({"n_tiles": n_tiles, "block_h": bh,
+                     "ms_per_step": round(ms, 2)})
+        print(f"block H/{n_tiles} ({bh} rows): {ms:.1f} ms/step",
+              flush=True)
+
+    full = rows[0]["ms_per_step"]
+    mp = H * W / 1e6
+    proj = []
+    for r in rows:
+        n = r["n_tiles"]
+        # pod step time = per-chip block step (measured) + grad psum.
+        # P ~= 59 floats/row * N rows = ~236 MB at 1M; ring all-reduce
+        # moves 2P(n-1)/n bytes per chip over ICI (~100 GB/s v5e) — only
+        # counted for n > 1.
+        psum_ms = (2 * 236e6 * (n - 1) / n / 100e9 * 1e3) if n > 1 else 0.0
+        t = r["ms_per_step"] + psum_ms
+        proj.append({"chips": n, "pod_ms_per_step": round(t, 2),
+                     "pod_mps": round(mp / (t / 1e3), 2),
+                     "speedup_vs_1": round(full / t, 2),
+                     "psum_ms_est": round(psum_ms, 2)})
+    print(json.dumps({"blocks": rows, "pod_projection": proj}))
+
+
+if __name__ == "__main__":
+    main()
