@@ -302,6 +302,15 @@ class HTGaussianTrainer(GaussianTrainer):
                     and it > stop_after):
                 break
 
+    def _pose_fitter(self):
+        """batched_pose_fit, or its coarse-to-fine wrapper when
+        pipe.pose_c2f is set (phase_a.batched_pose_fit_c2f)."""
+        from . import phase_a as pa
+
+        if getattr(self.pipe_cfg, "pose_c2f", False):
+            return pa.batched_pose_fit_c2f
+        return pa.batched_pose_fit
+
     def fit_relative_pose(self, bundle: ModelBundle, gt_image,
                           camera, iterations: int = 300) -> np.ndarray:
         """train_relative_pose: optimize only an SE(3) tangent against
@@ -315,7 +324,7 @@ class HTGaussianTrainer(GaussianTrainer):
         cams = pa.stack_cameras([camera])
         gts = jnp.asarray(gt_image)[None]
         lr = jnp.asarray(self.sched.rotation_lr, jnp.float32)
-        deltas = pa.batched_pose_fit(
+        deltas = self._pose_fitter()(
             states, bases, cams, gts, lr, mode=self._mode,
             tile_args=self._tile_args,
             lambda_dssim=self.sched.lambda_dssim, n_iters=iterations)
@@ -435,7 +444,7 @@ class HTGaussianTrainer(GaussianTrainer):
                     [self.camera_for(f) for (f, _) in padded])
                 gts_ref = jnp.stack([jnp.asarray(self.load_image(f))
                                      for (f, _) in padded])
-                deltas = pa.batched_pose_fit(
+                deltas = self._pose_fitter()(
                     states, bases, cams_ref, gts_ref, lr, mode=self._mode,
                     tile_args=self._tile_args, lambda_dssim=o.lambda_dssim,
                     n_iters=o.phase_a_pose_iters)
@@ -468,7 +477,7 @@ class HTGaussianTrainer(GaussianTrainer):
 
             # half-step 1: base model -> VFI frame; half-step 2: VFI model
             # -> frame f
-            deltas1 = pa.batched_pose_fit(
+            deltas1 = self._pose_fitter()(
                 states, bases, cams, gts_v, lr, mode=self._mode,
                 tile_args=self._tile_args, lambda_dssim=o.lambda_dssim,
                 n_iters=o.phase_a_pose_iters)
@@ -477,7 +486,7 @@ class HTGaussianTrainer(GaussianTrainer):
                 [self.camera_for(f) for (f, _) in padded])
             gts_ref = jnp.stack([jnp.asarray(self.load_image(f))
                                  for (f, _) in padded])
-            deltas2 = pa.batched_pose_fit(
+            deltas2 = self._pose_fitter()(
                 states_v, bases, cams_ref, gts_ref, lr, mode=self._mode,
                 tile_args=self._tile_args, lambda_dssim=o.lambda_dssim,
                 n_iters=o.phase_a_pose_iters)

@@ -177,16 +177,19 @@ def _batched_pose_exec(states, bases, cameras, gts, lr, deltas, opts, it0,
 
 def batched_pose_fit(states, bases, cameras, gts, lr, *, mode="auto",
                      tile_args=None, lambda_dssim=0.2, n_iters=300,
-                     exec_chunk=EXEC_CHUNK, shared_state=False):
+                     exec_chunk=EXEC_CHUNK, shared_state=False,
+                     deltas0=None):
     """Optimize B SE(3) tangents against B frozen models (host-chunked
     compiled loops — see EXEC_CHUNK). Returns [B, 6].
 
     shared_state=True: `states` is ONE (unstacked) frozen model shared by
     every pose in the batch — the eval_nvs test-time-pose-optimization
     shape, where stacking B copies of the full scene model would blow HBM.
+    deltas0: warm-start tangents (the coarse-to-fine wrapper's fine stage).
     """
     B = gts.shape[0]
-    deltas = jnp.zeros((B, 6), jnp.float32)
+    deltas = (jnp.zeros((B, 6), jnp.float32) if deltas0 is None
+              else jnp.asarray(deltas0))
     opts = jax.vmap(lambda _: adam_lib.init(
         {"pose": jnp.zeros(6, jnp.float32)}))(jnp.arange(B))
     n_total = jnp.asarray(n_iters, jnp.int32)
@@ -198,6 +201,54 @@ def batched_pose_fit(states, bases, cameras, gts, lr, *, mode="auto",
             mode=mode, tile_args=tile_args, lambda_dssim=lambda_dssim,
             n_iters=chunk, shared_state=shared_state)
         it0 = it0 + chunk
+    return deltas
+
+
+def downscale_camera(cam: Camera, f: int) -> Camera:
+    """Integer-divisor pyramid camera: same FoV, 1/f resolution."""
+    import dataclasses
+
+    assert cam.height % f == 0 and cam.width % f == 0, (cam.height,
+                                                        cam.width, f)
+    return dataclasses.replace(
+        cam, fx=cam.fx / f, fy=cam.fy / f, cx=cam.cx / f, cy=cam.cy / f,
+        height=cam.height // f, width=cam.width // f)
+
+
+def downscale_images(imgs: jax.Array, f: int) -> jax.Array:
+    """[B, H, W, 3] -> [B, H/f, W/f, 3] box average (antialiased)."""
+    B, H, W, C = imgs.shape
+    return imgs.reshape(B, H // f, f, W // f, f, C).mean(axis=(2, 4))
+
+
+def batched_pose_fit_c2f(states, bases, cameras, gts, lr, *, mode="auto",
+                         tile_args=None, lambda_dssim=0.2, n_iters=300,
+                         exec_chunk=EXEC_CHUNK, shared_state=False,
+                         stages=((4, 0.4), (1, 0.6))):
+    """Coarse-to-fine batched pose fit: run `frac` of the budget at 1/f
+    resolution (box-averaged gt, FoV-preserving pyramid camera), warm-
+    starting each finer stage from the coarser tangents.
+
+    An ht3dgs improvement over the reference (which fits at full
+    resolution only, trainer/ht3dgs_trainer.py:307-333): large inter-frame
+    motions put full-res photometric alignment outside its convergence
+    basin; the coarse stage widens the basin at 1/f^2 the pixel cost.
+    Opt-in (pipe.pose_c2f) — default OFF for reference parity."""
+    deltas = None
+    fracs = [frac for (_, frac) in stages]
+    total = sum(fracs)
+    for (f, frac) in stages:
+        it = max(1, int(round(n_iters * frac / total)))
+        if f > 1:
+            cams_f = downscale_camera(cameras, f)
+            gts_f = downscale_images(gts, f)
+        else:
+            cams_f, gts_f = cameras, gts
+        deltas = batched_pose_fit(
+            states, bases, cams_f, gts_f, lr, mode=mode,
+            tile_args=tile_args, lambda_dssim=lambda_dssim, n_iters=it,
+            exec_chunk=exec_chunk, shared_state=shared_state,
+            deltas0=deltas)
     return deltas
 
 

@@ -77,6 +77,9 @@ class PipelineConfig:
     trace_dir: Optional[str] = None    # jax.profiler trace capture dir
     init_max_points: int = 0           # cap per-frame init pcd size (0 = off)
     phase_a_batch: int = 8             # >0: vmap-batch relative-pose pairs
+    pose_c2f: bool = False             # coarse-to-fine Phase A pose fits
+                                       # (ht3dgs improvement; off =
+                                       # reference parity)
     tile_max_per_tile: int = 0         # preset binning K (0 = renderer
     tile_dup_factor: int = 0           # default); avoids auto-grow
     #                                    recompiles on known-dense scenes

@@ -44,11 +44,12 @@ def main():
     gt_w2c, _ = photo_scene.write_dataset(data_dir, n_frames=n_frames,
                                           height=h, width=w)
 
-    def run(label, pose_mode, pose_iters):
+    def run(label, pose_mode, pose_iters, c2f=False):
         model, pipe, optim = load_configs()
         apply_tier(tier, model, pipe, optim, data_dir)
         model.expname = f"ablate_{label}"
         pipe.train_pose_mode = pose_mode
+        pipe.pose_c2f = c2f
         optim.phase_a_pose_iters = pose_iters
         os.makedirs(os.path.join(out_dir, label), exist_ok=True)
         cwd = os.getcwd()
@@ -83,20 +84,23 @@ def main():
         return mean_rot, mean_rel
 
     configs = [
-        ("vfi60", "vfi", 60),
-        ("direct120", None, 120),
-        ("vfi150", "vfi", 150),
-        ("direct300", None, 300),
+        ("vfi60", "vfi", 60, False),
+        ("direct120", None, 120, False),
+        ("vfi150", "vfi", 150, False),
+        ("direct300", None, 300, False),
+        ("vfi60c2f", "vfi", 60, True),
+        ("direct120c2f", None, 120, True),
     ]
     if tier == "medium":
-        configs = [("vfi120", "vfi", 120), ("direct240", None, 240)]
+        configs = [("vfi120", "vfi", 120, False),
+                   ("direct240", None, 240, False)]
     only = os.environ.get("ABLATE_ONLY")
     if only:
         want = set(only.split(","))
         configs = [c for c in configs if c[0] in want]
     summary = {}
-    for label, mode, iters in configs:
-        summary[label] = run(label, mode, iters)
+    for label, mode, iters, c2f in configs:
+        summary[label] = run(label, mode, iters, c2f)
     print(json.dumps({"summary": summary}))
 
 
