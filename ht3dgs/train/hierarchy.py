@@ -323,7 +323,8 @@ class HTGaussianTrainer(GaussianTrainer):
         bases = jnp.asarray([[0, 0, 0, 0, 0, 0, 1]], jnp.float32)
         cams = pa.stack_cameras([camera])
         gts = jnp.asarray(gt_image)[None]
-        lr = jnp.asarray(self.sched.rotation_lr, jnp.float32)
+        lr = jnp.asarray(self.sched.pose_lr
+                 or self.sched.rotation_lr, jnp.float32)
         deltas = self._pose_fitter()(
             states, bases, cams, gts, lr, mode=self._mode,
             tile_args=self._tile_args,
@@ -437,7 +438,8 @@ class HTGaussianTrainer(GaussianTrainer):
 
             bases = jnp.broadcast_to(
                 jnp.asarray([0, 0, 0, 0, 0, 0, 1], jnp.float32), (B, 7))
-            lr = jnp.asarray(o.rotation_lr, jnp.float32)
+            lr = jnp.asarray(o.pose_lr or o.rotation_lr,
+                 jnp.float32)
 
             if not use_vfi:
                 cams_ref = pa.stack_cameras(

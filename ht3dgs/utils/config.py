@@ -99,6 +99,9 @@ class OptimizationConfig:
     opacity_lr: float = 0.05
     scaling_lr: float = 0.005
     rotation_lr: float = 0.001
+    # Phase A pose-fit LR; None = rotation_lr (reference parity,
+    # gaussian_model_ht.py:321-342 uses rotation_lr for the SE3 tangent)
+    pose_lr: Optional[float] = None
     percent_dense: float = 0.01
     lambda_dssim: float = 0.2
     lambda_depth: float = 0.0

@@ -44,13 +44,15 @@ def main():
     gt_w2c, _ = photo_scene.write_dataset(data_dir, n_frames=n_frames,
                                           height=h, width=w)
 
-    def run(label, pose_mode, pose_iters, c2f=False):
+    def run(label, pose_mode, pose_iters, c2f=False, pose_lr=None):
         model, pipe, optim = load_configs()
         apply_tier(tier, model, pipe, optim, data_dir)
         model.expname = f"ablate_{label}"
         pipe.train_pose_mode = pose_mode
         pipe.pose_c2f = c2f
         optim.phase_a_pose_iters = pose_iters
+        if pose_lr is not None:
+            optim.pose_lr = pose_lr
         os.makedirs(os.path.join(out_dir, label), exist_ok=True)
         cwd = os.getcwd()
         os.chdir(os.path.join(out_dir, label))
@@ -84,23 +86,29 @@ def main():
         return mean_rot, mean_rel
 
     configs = [
-        ("vfi60", "vfi", 60, False),
-        ("direct120", None, 120, False),
-        ("vfi150", "vfi", 150, False),
-        ("direct300", None, 300, False),
-        ("vfi60c2f", "vfi", 60, True),
-        ("direct120c2f", None, 120, True),
+        # (label, pose_mode, pose_iters, c2f, pose_lr)
+        ("vfi60", "vfi", 60, False, None),
+        ("direct120", None, 120, False, None),
+        ("vfi150", "vfi", 150, False, None),
+        ("direct300", None, 300, False, None),
+        ("vfi60c2f", "vfi", 60, True, None),
+        # Adam moves ~lr per step, so a fit can cover at most ~lr*iters of
+        # tangent motion; edge pairs need 0.174 (direct) / 0.087 (vfi
+        # half-steps) vs 60*1e-3 = 0.06 budget — these test the
+        # reach-limited hypothesis at matched compute
+        ("vfi60lr3", "vfi", 60, False, 3e-3),
+        ("direct120lr3", None, 120, False, 3e-3),
     ]
     if tier == "medium":
-        configs = [("vfi120", "vfi", 120, False),
-                   ("direct240", None, 240, False)]
+        configs = [("vfi120", "vfi", 120, False, None),
+                   ("direct240", None, 240, False, None)]
     only = os.environ.get("ABLATE_ONLY")
     if only:
         want = set(only.split(","))
         configs = [c for c in configs if c[0] in want]
     summary = {}
-    for label, mode, iters, c2f in configs:
-        summary[label] = run(label, mode, iters, c2f)
+    for label, mode, iters, c2f, plr in configs:
+        summary[label] = run(label, mode, iters, c2f, plr)
     print(json.dumps({"summary": summary}))
 
 
