@@ -626,6 +626,11 @@ class HTGaussianTrainer(GaussianTrainer):
             m = self.host_train_step(
                 bundle, cam, gt, self.global_iteration,
                 densification_interval=o.densification_interval_leaf)
+            if it % 25 == 0:
+                # bounded dispatch queue: the remote TPU client wedges when
+                # too many executions are enqueued unfetched (round-2
+                # reliability finding; Phase A syncs the same way)
+                _sync_device(m["psnr"])
             if self.global_iteration % 1000 == 0:
                 bundle.state = G.oneup_sh_degree(bundle.state)
             if it % 100 == 0:
@@ -653,6 +658,8 @@ class HTGaussianTrainer(GaussianTrainer):
             cam, gt = self._frame_camera_gt(bundle, fidx, use_vfi)
             m = self.host_train_step(bundle, cam, gt, self.global_iteration,
                                      sched=o)
+            if it % 25 == 0:
+                _sync_device(m["psnr"])
             if self.global_iteration % 1000 == 0:
                 bundle.state = G.oneup_sh_degree(bundle.state)
             if it % 100 == 0:
@@ -707,6 +714,8 @@ class HTGaussianTrainer(GaussianTrainer):
                 cam, gt = self._frame_camera_gt(bundle, fidx, False)
                 m = self.host_train_step(bundle, cam, gt,
                                          self.global_iteration, sched=o)
+            if it % 25 == 0:
+                _sync_device(m["psnr"])
             if self.global_iteration % 1000 == 0:
                 bundle.state = G.oneup_sh_degree(bundle.state)
             if it % 100 == 0:
