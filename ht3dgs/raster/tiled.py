@@ -289,16 +289,20 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
         # out-of-range rows are dropped instead of parked at M-1
         has = (span > 0) & (offs < M)
         tgt = jnp.where(has, offs, M)
+        # HT3DGS_PLAIN_SCATTER=1 drops the sorted/unique hints (A/B lever:
+        # scatter lowering differs per backend/toolchain)
+        import os as _os
+        _hints = _os.environ.get("HT3DGS_PLAIN_SCATTER", "0") != "1"
+        _kw = (dict(indices_are_sorted=True, unique_indices=True)
+               if _hints else {})
         starts_src = jnp.zeros((M,), jnp.int32).at[tgt].set(
-            order + 1, mode="drop", indices_are_sorted=True,
-            unique_indices=True)
+            order + 1, mode="drop", **_kw)
         # per-entry tile geometry, gather-free: forward-fill (x0, y0,
         # span_x) bit-packed into one payload (each < 2^bits; 3*bits <= 27
         # holds to ~8K resolutions) from each segment start via the
         # blocked-cummax fill
         starts_pay = jnp.zeros((M,), jnp.int32).at[tgt].set(
-            packed_d, mode="drop", indices_are_sorted=True,
-            unique_indices=True)
+            packed_d, mode="drop", **_kw)
         # the src fill also yields each entry's segment-start POSITION
         # (one blocked cummax carries both), replacing the old separate
         # change-detect + cummax chain for `local`
