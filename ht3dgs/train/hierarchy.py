@@ -866,10 +866,18 @@ class HTGaussianTrainer(GaussianTrainer):
 
             for i0 in range(0, len(leaf_lists) - (len(leaf_lists) % S), S):
                 chunk = leaf_lists[i0:i0 + S]
+                tags = [f"lv{self.train_level}_seg{i0 + k}"
+                        for k in range(len(chunk))]
+                crumbs = [self._load_bundle_breadcrumb(t) for t in tags]
+                if all(c is not None for c in crumbs):
+                    for k, b in enumerate(crumbs):
+                        bundles[self.train_level][i0 + k] = b
+                    continue
                 with self.timer.phase("leaf_parallel"):
                     trained = pl.train_leaf_segments_parallel(self, chunk)
                 for k, b in enumerate(trained):
                     bundles[self.train_level][i0 + k] = b
+                    self._save_bundle_breadcrumb(b, tags[k])
 
         for level in range(self.train_level, -1, -1):
             seg_lists = lists[level]
@@ -887,6 +895,14 @@ class HTGaussianTrainer(GaussianTrainer):
                     for i0 in range(0, len(seg_lists)
                                     - (len(seg_lists) % Sp), Sp):
                         idxs = list(range(i0, i0 + Sp))
+                        tags = [f"lv{level}_seg{i}" for i in idxs]
+                        crumbs = [self._load_bundle_breadcrumb(t)
+                                  for t in tags]
+                        if all(c is not None for c in crumbs):
+                            for i, c in zip(idxs, crumbs):
+                                bundles[level][i] = c
+                            nonleaf_pretrained.update(idxs)
+                            continue
                         chunk = [bundles[level][i] for i in idxs]
                         kids = ([tuple(bundles[level + 1][2 * i: 2 * i + 2])
                                  for i in idxs] if use_base else None)
@@ -894,16 +910,28 @@ class HTGaussianTrainer(GaussianTrainer):
                             pnl.train_nonleaf_segments_parallel(
                                 self, chunk, [seg_lists[i] for i in idxs],
                                 level, children_pairs=kids)
+                        for i, t in zip(idxs, tags):
+                            self._save_bundle_breadcrumb(bundles[level][i],
+                                                         t)
                         nonleaf_pretrained.update(idxs)
 
             for seg_idx, frames in enumerate(seg_lists):
                 self.logger.info(f"level {level} seg {seg_idx}: {frames}")
-                if level == self.train_level:
+                tag = f"lv{level}_seg{seg_idx}"
+                crumb = (None if seg_idx in nonleaf_pretrained
+                         else self._load_bundle_breadcrumb(tag))
+                if crumb is not None:
+                    bundle = crumb
+                    bundles[level][seg_idx] = bundle
+                    self.global_iteration = bundle.global_iteration
+                elif level == self.train_level:
                     bundle = bundles[level][seg_idx]  # parallel-pre-trained
                     if bundle is None:
                         with self.timer.phase("leaf"):
                             bundle = self._train_leaf_segment(frames)
                         bundles[level][seg_idx] = bundle
+                        bundle.global_iteration = self.global_iteration
+                        self._save_bundle_breadcrumb(bundle, tag)
                     else:
                         self.global_iteration = bundle.global_iteration
                 elif seg_idx in nonleaf_pretrained:
@@ -921,6 +949,8 @@ class HTGaussianTrainer(GaussianTrainer):
                         level] * len(frames)
                     with self.timer.phase("nonleaf_phase2"):
                         self.train_nonleaf_phase2(bundle, frames, n_it)
+                    bundle.global_iteration = self.global_iteration
+                    self._save_bundle_breadcrumb(bundle, tag)
                 bundle.global_iteration = self.global_iteration
 
                 if (seg_idx + 1) % 2 == 0:
@@ -951,12 +981,74 @@ class HTGaussianTrainer(GaussianTrainer):
         with self.timer.phase("eval"):
             self.evaluate_on_training_images()
         self.save_checkpoint()
+        # drop crash-resume breadcrumbs: the run completed, and stale
+        # crumbs must not leak into a rerun with different budgets
+        import glob as _glob
+        for f in _glob.glob(f"{self.result_path}/chkpnt/crumb_*.npz"):
+            os.remove(f)
         self.logger.info(f"phase timing: {self.timer.summary()}")
         self.logger.info(
             f"capacity growths (recompiles): "
             f"{getattr(self, 'n_capacity_grows', 0)}")
         self.timer.dump(os.path.join(self.result_path, "phase_timing.json"))
         return self.gs_bundle
+
+    def _bundle_breadcrumb_path(self, tag: str) -> str:
+        return f"{self.result_path}/chkpnt/crumb_{tag}.npz"
+
+    def _save_bundle_breadcrumb(self, bundle: ModelBundle, tag: str):
+        """Crash-resume breadcrumb for a finished sub-training (leaf or
+        merged segment): the remote TPU client can wedge mid-run and the
+        watchdog restart should not redo finished segments (same rationale
+        as the Phase A pose breadcrumbs)."""
+        path = self._bundle_breadcrumb_path(tag)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        arrs = {f: np.asarray(getattr(bundle.state, f))
+                for f in G.PARAM_FIELDS}
+        arrs.update(
+            live=np.asarray(bundle.state.live),
+            active_sh_degree=np.asarray(bundle.state.active_sh_degree),
+            max_sh_degree=np.asarray(bundle.state.max_sh_degree),
+            poses=bundle.poses,
+            radius=np.asarray(bundle.radius),
+            spatial_scale=np.asarray(bundle.spatial_scale),
+            global_iteration=np.asarray(bundle.global_iteration),
+            start_fidx=np.asarray(bundle.start_fidx),
+            to_visit=np.asarray(bundle.to_visit_frames, np.int32),
+        )
+        for f in G.PARAM_FIELDS:
+            arrs[f"adam_m_{f}"] = np.asarray(bundle.opt.m[f])
+            arrs[f"adam_v_{f}"] = np.asarray(bundle.opt.v[f])
+        arrs["adam_step"] = np.asarray(bundle.opt.step)
+        np.savez_compressed(path + ".tmp.npz", **arrs)
+        os.replace(path + ".tmp.npz", path)
+        self.logger.info(f"breadcrumb -> {path}")
+
+    def _load_bundle_breadcrumb(self, tag: str) -> Optional[ModelBundle]:
+        path = self._bundle_breadcrumb_path(tag)
+        if not os.path.exists(path):
+            return None
+        z = np.load(path)
+        zeros = jnp.zeros((z["live"].shape[0],), jnp.float32)
+        state = GaussianState(
+            **{f: jnp.asarray(z[f]) for f in G.PARAM_FIELDS},
+            live=jnp.asarray(z["live"]),
+            max_radii2d=zeros, grad_accum=zeros, grad_denom=zeros,
+            active_sh_degree=jnp.asarray(z["active_sh_degree"]),
+            max_sh_degree=int(z["max_sh_degree"]),
+        )
+        opt = adam_lib.AdamState(
+            m={f: jnp.asarray(z[f"adam_m_{f}"]) for f in G.PARAM_FIELDS},
+            v={f: jnp.asarray(z[f"adam_v_{f}"]) for f in G.PARAM_FIELDS},
+            step=jnp.asarray(z["adam_step"]))
+        b = ModelBundle(
+            state=state, opt=opt, radius=float(z["radius"]),
+            spatial_scale=float(z["spatial_scale"]), poses=z["poses"],
+            global_iteration=int(z["global_iteration"]),
+            start_fidx=int(z["start_fidx"]),
+            to_visit_frames=[int(x) for x in z["to_visit"]])
+        self.logger.info(f"resumed breadcrumb {path}")
+        return b
 
     def _train_leaf_segment(self, frames: List[int]) -> ModelBundle:
         """Leaf: init on first frame, then walk the segment chaining poses

@@ -164,3 +164,39 @@ def test_derive_schedule_reset_override():
     tr.sched = dataclasses.replace(tr.optim_cfg)
     tr.derive_schedule()
     assert tr.sched.opacity_reset_interval == 7777
+
+
+def test_bundle_breadcrumb_roundtrip(dataset, tmp_path, monkeypatch):
+    """Crash-resume breadcrumbs: a trained segment bundle round-trips
+    through _save/_load_bundle_breadcrumb (params, Adam moments, poses,
+    counters) so a watchdog restart skips finished segments."""
+    import jax.numpy as jnp
+
+    from ht3dgs.core import gaussians as G
+
+    scene, img_dir = dataset
+    monkeypatch.chdir(tmp_path)
+    model, pipe, optim = tiny_cfg(img_dir)
+    tr = HTGaussianTrainer(img_dir, model, pipe, optim, seed=0)
+    pcd = tr.prepare_pcd(0)
+    b = tr.make_model(pcd)
+    b.poses = np.tile(np.eye(4, dtype=np.float32), (tr.seq_len, 1, 1))
+    b.poses[1, 0, 3] = 0.25
+    b.global_iteration = 77
+    b.start_fidx = 3
+    b.to_visit_frames = [3, 4, 5]
+
+    assert tr._load_bundle_breadcrumb("lv1_seg0") is None
+    tr._save_bundle_breadcrumb(b, "lv1_seg0")
+    r = tr._load_bundle_breadcrumb("lv1_seg0")
+    assert r is not None
+    for f in G.PARAM_FIELDS:
+        np.testing.assert_array_equal(np.asarray(getattr(r.state, f)),
+                                      np.asarray(getattr(b.state, f)))
+        np.testing.assert_array_equal(np.asarray(r.opt.m[f]),
+                                      np.asarray(b.opt.m[f]))
+    np.testing.assert_array_equal(r.poses, b.poses)
+    assert r.global_iteration == 77
+    assert r.start_fidx == 3
+    assert r.to_visit_frames == [3, 4, 5]
+    assert int(r.state.n_live()) == int(b.state.n_live())
