@@ -10,7 +10,8 @@ Usage: python tools/real_image_bench.py [out_dir] [--full|--medium]
   default:  quick CPU-sized run (96x128, 10 frames, short budgets)
   --medium: CPU-feasible overnight tier (160x208, 12 frames, ~1/3 of the
             reference per-stage budgets)
-  --full:   video-sized run for a real chip (tiled renderer, 288x384)
+  --full:   video-sized run for a real chip (tiled renderer; dims in
+            tools/_tiers.py, sized for the remote single-chip service)
 """
 
 import os
@@ -62,11 +63,13 @@ def main():
     finally:
         os.chdir(cwd)
 
-    line = (f"| photo-plane ({w}x{h}, {n_frames}f, "
-            f"{tier}) | {psnr:.2f} dB | "
+    import jax as _jax
+
+    backend = _jax.default_backend()
+    line = (f"| {tier} {w}x{h}, {n_frames}f ({backend}) | {psnr:.2f} dB | "
             f"{stats['ATE'] * 100:.3f} | "
             f"{stats['RPE_trans_x100']:.3f} | "
-            f"{stats['RPE_rot_deg']:.3f} |")
+            f"{stats['RPE_rot_deg']:.3f} | |")
     print(line)
     res = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "RESULTS.md")
