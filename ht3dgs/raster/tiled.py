@@ -117,6 +117,38 @@ def _seg_ffill_pos(key: jax.Array, pb: int):
     return (val.reshape(nb * B)[:L], pos.reshape(nb * B)[:L])
 
 
+def _seg_ffill2_pos(keys: jax.Array, pb: int):
+    """Two-channel `_seg_ffill_pos`: keys [C, L] share one blocked-cummax
+    dispatch (the fills stage runs two fills over the same segment starts —
+    src ids and packed geometry — so batching them halves the number of
+    full-length scan kernels). Returns (vals [C, L], pos [C, L])."""
+    C, L = keys.shape
+    mask = (1 << pb) - 1
+    B = 1 << (30 - pb)
+    nb = _cdiv(L, B)
+    kp = jnp.pad(keys, ((0, 0), (0, nb * B - L))).reshape(C, nb, B)
+    local = (jnp.arange(B, dtype=jnp.int32) + 1)[None, None, :]
+    c1 = jax.lax.cummax(
+        jnp.where(kp != 0, (local << pb) | (kp & mask), 0), axis=2)
+    last = c1[:, :, -1]                                   # [C, nb]
+    cb = jax.lax.cummax(jnp.where(
+        last != 0, (jnp.arange(nb, dtype=jnp.int32) + 1)[None, :], 0),
+        axis=1)
+    cb_prev = jnp.concatenate(
+        [jnp.zeros((C, 1), jnp.int32), cb[:, :-1]], axis=1)
+    src_blk = jnp.maximum(cb_prev - 1, 0)
+    carry_last = jnp.take_along_axis(last, src_blk, axis=1)
+    carry_val = jnp.where(cb_prev > 0, carry_last & mask, 0)
+    carry_pos = jnp.where(cb_prev > 0,
+                          src_blk * B + (carry_last >> pb), 0)
+    blk_base = (jnp.arange(nb, dtype=jnp.int32) * B)[None, :, None]
+    val = jnp.where(c1 != 0, c1 & mask, carry_val[:, :, None])
+    pos = jnp.where(c1 != 0, blk_base + (c1 >> pb),
+                    carry_pos[:, :, None])
+    return (val.reshape(C, nb * B)[:, :L],
+            pos.reshape(C, nb * B)[:, :L])
+
+
 def _pack_attr_rows(proj: Projected) -> jax.Array:
     """[N, 16]: mx, my, ca, cb, cc, r, g, b, op, depth, ex, ey, pad..."""
     depths = jnp.where(jnp.isfinite(proj.depths), proj.depths, 0.0)
@@ -305,10 +337,14 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
             packed_d, mode="drop", **_kw)
         # the src fill also yields each entry's segment-start POSITION
         # (one blocked cummax carries both), replacing the old separate
-        # change-detect + cummax chain for `local`
-        src_f, pos_ff = _seg_ffill_pos(starts_src, pb)
-        src = jnp.clip(src_f - 1, 0, N - 1)
-        pay_ff = _seg_ffill(starts_pay, 3 * bits)
+        # change-detect + cummax chain for `local`; both channels (src ids
+        # + packed geometry) share one batched scan dispatch
+        pb2 = max(pb, 3 * bits)
+        vals, poss = _seg_ffill2_pos(
+            jnp.stack([starts_src, starts_pay]), pb2)
+        src = jnp.clip(vals[0] - 1, 0, N - 1)
+        pay_ff = vals[1]
+        pos_ff = poss[0]
         local = m - (pos_ff - 1)
         mask = (1 << bits) - 1
         sx = jnp.maximum(pay_ff & mask, 1)
