@@ -85,6 +85,9 @@ def main():
         # sweep with --k/--dup. Drop counters are reported so the kept
         # point can be shown overflow-free.
         n_gauss, H, W = None, 1080, 1920
+        if "--res" in sys.argv:  # e.g. --res 192x256 (HxW)
+            H, W = map(int, sys.argv[sys.argv.index("--res") + 1]
+                       .split("x"))
         k = int(sys.argv[sys.argv.index("--k") + 1]) \
             if "--k" in sys.argv else 2048
         dup = int(sys.argv[sys.argv.index("--dup") + 1]) \

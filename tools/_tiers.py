@@ -42,6 +42,16 @@ def apply_tier(tier: str, model, pipe, optim, data_dir):
     pipe.depth_dir = os.path.join(data_dir, "depth")
     # toy-scale schedule correction (see module docstring)
     optim.opacity_reset_interval_override = 100_000
+    # Phase A recipe (tools/pose_ablation.py, round 4, exact-GT scene):
+    # the reference's vfi-midpoint strategy assumes REAL IFRNet frames;
+    # with the zero-egress 'blend' substitute the ghosted midpoints bias
+    # the half-fits (vfi60: 1.16 deg rot / 63% trans err vs direct120:
+    # 0.72 / 33% at MATCHED compute). And Adam moves ~pose_lr per step,
+    # so a fit only reaches ~lr*iters of tangent motion — edge pairs move
+    # 0.174 vs 60*1e-3 = 0.06 reach. direct + lr 3e-3 at 120 iters lands
+    # 0.31 deg / 13.4%, matching direct300 at 40% of the compute.
+    pipe.train_pose_mode = None
+    optim.pose_lr = 3e-3
 
     if tier == "full":
         # sized for the remote (axon) single-chip service: the 288x384/24f
