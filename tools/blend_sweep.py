@@ -24,13 +24,20 @@ def main():
     # (~10 live [tb, cs, P] f32 temps in the backward); tb*cs > 1024 at
     # P=256 exceeds the 16M scoped-vmem limit (measured: (16,128) OOMs at
     # 27.9M). Feasible sweep: products <= 1024.
+    import sys as _sys
+
+    k = 128 if "--trained" in _sys.argv else 384
+    dup = 2 if "--trained" in _sys.argv else 6
     configs = []
-    for tb, cs in [(8, 64), (16, 64), (4, 64), (8, 128), (4, 128)]:
-        ta = dict(tile_h=16, tile_w=16, max_per_tile=384, dup_factor=6,
+    for tb, cs in [(8, 64), (16, 64), (4, 64), (8, 128), (4, 128),
+                   (16, 32), (8, 32)]:
+        if tb * cs > 1024 or cs > k:
+            continue
+        ta = dict(tile_h=16, tile_w=16, max_per_tile=k, dup_factor=dup,
                   backend="pallas", route_bf16=True, blend_tb=tb,
                   blend_cs=cs)
         configs.append((f"tb={tb:2d} cs={cs:4d}", ta))
-    run_configs(configs)
+    run_configs(configs, trained="--trained" in _sys.argv)
 
 
 if __name__ == "__main__":
