@@ -81,40 +81,10 @@ def _seg_ffill(key: jax.Array, pb: int) -> jax.Array:
 def _seg_ffill_pos(key: jax.Array, pb: int):
     """`_seg_ffill` that ALSO returns, per position, the 1-based GLOBAL
     index of the set position each payload came from (0 before the first).
-
-    One full-length cummax instead of _seg_ffill-for-the-payload plus a
-    second full-length change-detect + cummax chain for the position (the
-    old pos_ff recipe in _binning_impl): the blocked cummax already carries
-    (local_pos << pb | payload) — the block decomposition turns the local
-    position global, and the inter-block carry needs only [nb]-sized ops
-    (nb = L/B blocks) plus one tiny gather."""
-    L = key.shape[0]
-    mask = (1 << pb) - 1
-    B = 1 << (30 - pb)
-    if L <= B:
-        pos = jnp.arange(L, dtype=jnp.int32) + 1
-        c = jax.lax.cummax(
-            jnp.where(key != 0, (pos << pb) | (key & mask), 0))
-        return c & mask, c >> pb
-    nb = _cdiv(L, B)
-    kp = jnp.pad(key, (0, nb * B - L)).reshape(nb, B)
-    local = (jnp.arange(B, dtype=jnp.int32) + 1)[None, :]
-    c1 = jax.lax.cummax(
-        jnp.where(kp != 0, (local << pb) | (kp & mask), 0), axis=1)
-    last = c1[:, -1]                                  # [nb]
-    # inter-block carry: which block supplies each block's prefix
-    cb = jax.lax.cummax(jnp.where(
-        last != 0, jnp.arange(nb, dtype=jnp.int32) + 1, 0))
-    cb_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), cb[:-1]])
-    src_blk = jnp.maximum(cb_prev - 1, 0)
-    carry_last = jnp.take(last, src_blk)              # [nb] — tiny gather
-    carry_val = jnp.where(cb_prev > 0, carry_last & mask, 0)
-    carry_pos = jnp.where(cb_prev > 0,
-                          src_blk * B + (carry_last >> pb), 0)
-    blk_base = (jnp.arange(nb, dtype=jnp.int32) * B)[:, None]
-    val = jnp.where(c1 != 0, c1 & mask, carry_val[:, None])
-    pos = jnp.where(c1 != 0, blk_base + (c1 >> pb), carry_pos[:, None])
-    return (val.reshape(nb * B)[:L], pos.reshape(nb * B)[:L])
+    Single-channel view of `_seg_ffill2_pos` (one implementation; the
+    unit test pins both through this entry point)."""
+    vals, poss = _seg_ffill2_pos(key[None, :], pb)
+    return vals[0], poss[0]
 
 
 def _seg_ffill2_pos(keys: jax.Array, pb: int):
