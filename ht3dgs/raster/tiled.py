@@ -292,7 +292,15 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
         has = (span > 0) & (offs < M)
         tgt = jnp.where(has, offs, M)
         # HT3DGS_PLAIN_SCATTER=1 drops the sorted/unique hints (A/B lever:
-        # scatter lowering differs per backend/toolchain)
+        # scatter lowering differs per backend/toolchain).
+        # NOTE on the hints' contract: in-bounds targets are sorted and
+        # unique, but every dropped row shares tgt == M, and duplicate
+        # out-of-range indices under mode='drop' with unique_indices=True
+        # are not covered by the XLA scatter spec. Current lowerings drop
+        # them before the uniqueness assumption matters; any new
+        # backend/toolchain must be gated through `bench.py --validate`,
+        # which diff-checks this path against the hint-free
+        # (HT3DGS_PLAIN_SCATTER=1) graph on device.
         import os as _os
         _hints = _os.environ.get("HT3DGS_PLAIN_SCATTER", "0") != "1"
         _kw = (dict(indices_are_sorted=True, unique_indices=True)

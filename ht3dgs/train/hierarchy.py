@@ -90,6 +90,7 @@ class HTGaussianTrainer(GaussianTrainer):
     def __init__(self, data_path, model_cfg, pipe_cfg, optim_cfg, seed=0):
         super().__init__(data_path, model_cfg, pipe_cfg, optim_cfg)
         self.train_level = pipe_cfg.train_level
+        self.seed = seed
         self.rng = random.Random(seed)
         self.key = jax.random.PRNGKey(seed)
         self.pose_dict: Dict[str, np.ndarray] = {}
@@ -323,8 +324,9 @@ class HTGaussianTrainer(GaussianTrainer):
         bases = jnp.asarray([[0, 0, 0, 0, 0, 0, 1]], jnp.float32)
         cams = pa.stack_cameras([camera])
         gts = jnp.asarray(gt_image)[None]
-        lr = jnp.asarray(self.sched.pose_lr
-                 or self.sched.rotation_lr, jnp.float32)
+        lr = jnp.asarray(self.sched.rotation_lr
+                 if self.sched.pose_lr is None
+                 else self.sched.pose_lr, jnp.float32)
         deltas = self._pose_fitter()(
             states, bases, cams, gts, lr, mode=self._mode,
             tile_args=self._tile_args,
@@ -438,8 +440,8 @@ class HTGaussianTrainer(GaussianTrainer):
 
             bases = jnp.broadcast_to(
                 jnp.asarray([0, 0, 0, 0, 0, 0, 1], jnp.float32), (B, 7))
-            lr = jnp.asarray(o.pose_lr or o.rotation_lr,
-                 jnp.float32)
+            lr = jnp.asarray(o.rotation_lr if o.pose_lr is None
+                 else o.pose_lr, jnp.float32)
 
             if not use_vfi:
                 cams_ref = pa.stack_cameras(
@@ -817,8 +819,9 @@ class HTGaussianTrainer(GaussianTrainer):
         o.iterations = num_iterations
         o.position_lr_max_steps = num_iterations
         o.opacity_reset_interval = (
-            o.opacity_reset_interval_override
-            or max(num_iterations // 10, 1))
+            max(num_iterations // 10, 1)
+            if o.opacity_reset_interval_override is None
+            else o.opacity_reset_interval_override)
         o.densify_until_iter = num_iterations
         o.reset_until_iter = int(num_iterations * 0.8)
         o.densify_from_iter = o.single_step
@@ -850,6 +853,10 @@ class HTGaussianTrainer(GaussianTrainer):
         # Phase B — partition
         lists = self.partition(self.seq_len, self.train_level)
         self.logger.info(f"partition: {lists}")
+        # crumbs saved under one (config, partition, seed) fingerprint
+        # must not resume a run launched under another (mixed-config
+        # models with no warning otherwise — ADVICE r4)
+        self._crumb_fp = self._config_fingerprint(lists)
 
         use_base = "base" in self.pipe_cfg.multi_source_supervision
         # bundles[level][segment]
@@ -993,6 +1000,27 @@ class HTGaussianTrainer(GaussianTrainer):
         self.timer.dump(os.path.join(self.result_path, "phase_timing.json"))
         return self.gs_bundle
 
+    def _config_fingerprint(self, lists) -> str:
+        """Hash of everything that shapes a segment's training: optim +
+        pipe config, partition, seq_len, seed. Stamped into every
+        breadcrumb; mismatching crumbs are refused on load so a relaunch
+        under a changed schedule/budget/partition cannot silently splice
+        segments trained under the old configuration."""
+        import hashlib
+        import json
+
+        payload = {
+            "optim": {k: repr(v)
+                      for k, v in sorted(vars(self.optim_cfg).items())},
+            "pipe": {k: repr(v)
+                     for k, v in sorted(vars(self.pipe_cfg).items())},
+            "seq_len": self.seq_len,
+            "seed": getattr(self, "seed", 0),
+            "partition": repr(lists),
+        }
+        return hashlib.sha256(
+            json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
+
     def _bundle_breadcrumb_path(self, tag: str) -> str:
         return f"{self.result_path}/chkpnt/crumb_{tag}.npz"
 
@@ -1020,6 +1048,15 @@ class HTGaussianTrainer(GaussianTrainer):
             arrs[f"adam_m_{f}"] = np.asarray(bundle.opt.m[f])
             arrs[f"adam_v_{f}"] = np.asarray(bundle.opt.v[f])
         arrs["adam_step"] = np.asarray(bundle.opt.step)
+        # config fingerprint + trainer RNG stream so a resume neither
+        # mixes configurations nor diverges from the uninterrupted run
+        import pickle
+
+        arrs["config_fp"] = np.array(
+            getattr(self, "_crumb_fp", ""), dtype="U16")
+        arrs["py_rng_state"] = np.frombuffer(
+            pickle.dumps(self.rng.getstate()), np.uint8)
+        arrs["jax_key"] = np.asarray(self.key)
         np.savez_compressed(path + ".tmp.npz", **arrs)
         os.replace(path + ".tmp.npz", path)
         self.logger.info(f"breadcrumb -> {path}")
@@ -1029,6 +1066,19 @@ class HTGaussianTrainer(GaussianTrainer):
         if not os.path.exists(path):
             return None
         z = np.load(path)
+        saved_fp = str(z["config_fp"]) if "config_fp" in z.files else None
+        if saved_fp != getattr(self, "_crumb_fp", ""):
+            self.logger.warning(
+                f"REFUSING breadcrumb {path}: config fingerprint "
+                f"{saved_fp!r} != current {getattr(self, '_crumb_fp', '')!r}"
+                " (schedule/partition/budget/seed changed since the crumb"
+                " was written) — retraining this segment")
+            return None
+        if "py_rng_state" in z.files:
+            import pickle
+
+            self.rng.setstate(pickle.loads(z["py_rng_state"].tobytes()))
+            self.key = jnp.asarray(z["jax_key"])
         zeros = jnp.zeros((z["live"].shape[0],), jnp.float32)
         state = GaussianState(
             **{f: jnp.asarray(z[f]) for f in G.PARAM_FIELDS},

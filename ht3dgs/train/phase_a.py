@@ -237,7 +237,13 @@ def batched_pose_fit_c2f(states, bases, cameras, gts, lr, *, mode="auto",
     deltas = None
     fracs = [frac for (_, frac) in stages]
     total = sum(fracs)
+    H, W = int(gts.shape[1]), int(gts.shape[2])
     for (f, frac) in stages:
+        # graceful degrade: if the resolution is not divisible by the
+        # requested pyramid factor, fall back to the largest divisor <= f
+        # (worst case 1 = skip the coarse stage) instead of aborting
+        while f > 1 and (H % f or W % f):
+            f -= 1
         it = max(1, int(round(n_iters * frac / total)))
         if f > 1:
             cams_f = downscale_camera(cameras, f)

@@ -170,6 +170,8 @@ def test_bundle_breadcrumb_roundtrip(dataset, tmp_path, monkeypatch):
     """Crash-resume breadcrumbs: a trained segment bundle round-trips
     through _save/_load_bundle_breadcrumb (params, Adam moments, poses,
     counters) so a watchdog restart skips finished segments."""
+    import dataclasses
+
     import jax.numpy as jnp
 
     from ht3dgs.core import gaussians as G
@@ -200,3 +202,15 @@ def test_bundle_breadcrumb_roundtrip(dataset, tmp_path, monkeypatch):
     assert r.start_fidx == 3
     assert r.to_visit_frames == [3, 4, 5]
     assert int(r.state.n_live()) == int(b.state.n_live())
+
+    # crumbs carry a config fingerprint: a relaunch under a changed
+    # schedule/partition/seed must refuse them (ADVICE r4, medium)
+    tr._crumb_fp = tr._config_fingerprint([[0, 1, 2]])
+    assert tr._load_bundle_breadcrumb("lv1_seg0") is None
+    tr._save_bundle_breadcrumb(b, "lv1_seg0")
+    assert tr._load_bundle_breadcrumb("lv1_seg0") is not None
+    fp1 = tr._crumb_fp
+    tr.optim_cfg = dataclasses.replace(tr.optim_cfg, single_step=999)
+    tr._crumb_fp = tr._config_fingerprint([[0, 1, 2]])
+    assert tr._crumb_fp != fp1
+    assert tr._load_bundle_breadcrumb("lv1_seg0") is None
