@@ -325,6 +325,9 @@ def build_hierarchy_step(mesh: Mesh, height: int, width: int, *,
             "n_dropped_tile": jax.lax.psum(
                 out.get("n_dropped_tile", jnp.asarray(0, jnp.int32)),
                 "tile"),
+            "n_dropped_compact": jax.lax.psum(
+                out.get("n_dropped_compact", jnp.asarray(0, jnp.int32)),
+                "tile"),
         }
         return state.replace_params(new_params), new_opt, metrics
 
@@ -367,7 +370,8 @@ def build_hierarchy_step(mesh: Mesh, height: int, width: int, *,
                 {"loss": P("segment"), "psnr": P("segment"),
                  "n_visible": P("segment"), "n_dropped": P("segment"),
                  "n_dropped_m": P("segment"),
-                 "n_dropped_tile": P("segment")},
+                 "n_dropped_tile": P("segment"),
+                 "n_dropped_compact": P("segment")},
             ),
             check_vma=False,
         )

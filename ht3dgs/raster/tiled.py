@@ -143,17 +143,19 @@ def build_tile_lists(
     max_per_tile: int = 1024,
     dup_factor: int = 16,
     route_bf16: bool = False,
+    compact_n: int | None = None,
 ):
     """Binning stages 1-5: packed per-tile entry blocks + meta.
 
     Returns (ent [T,K,16], meta [T,4] int32, total, n_dropped_m,
-    n_dropped_tile) — the two overflow diagnostics are separate so the
-    trainer's auto-grow can widen only the exhausted capacity (dup_factor
-    for global M overflow, max_per_tile for per-tile overflow)."""
+    n_dropped_tile, n_dropped_compact) — the overflow diagnostics are
+    separate so the trainer's auto-grow can widen only the exhausted
+    capacity (dup_factor for global M overflow, max_per_tile for per-tile
+    overflow, compact_n for cull-compaction overflow)."""
     return build_tile_lists_from_rows(
         _pack_attr_rows(proj), proj.valid, proj.depths, height, width,
         tile_h=tile_h, tile_w=tile_w, max_per_tile=max_per_tile,
-        dup_factor=dup_factor, route_bf16=route_bf16)
+        dup_factor=dup_factor, route_bf16=route_bf16, compact_n=compact_n)
 
 
 def build_tile_lists_from_rows(
@@ -167,6 +169,7 @@ def build_tile_lists_from_rows(
     max_per_tile: int = 1024,
     dup_factor: int = 16,
     route_bf16: bool = False,
+    compact_n: int | None = None,
 ):
     """Row-table flavor of the binning front-end: consumes pre-packed
     attribute rows (e.g. the all-gathered frustum survivors of a
@@ -186,9 +189,21 @@ def build_tile_lists_from_rows(
     them pairwise into int32 sort payloads (6 sort operands instead of 11;
     lax.sort cost is per operand). Per-entry gradient error ~0.4% before
     the f32 segment sums — below the CUDA reference's own atomic-order
-    run-to-run noise, but opt-in so exact f32 routing stays the default."""
+    run-to-run noise, but opt-in so exact f32 routing stays the default.
+
+    compact_n: cull-compact the depth-sorted live rows to this static
+    capacity BEFORE the expansion — the depth co-sort already parks
+    zero-span rows (culled, or outside this camera's tile grid) at the
+    end, so compaction is a free slice of the sorted payloads. Under tile
+    sharding each chip renders a row-block camera whose tile grid rejects
+    every Gaussian outside its block, so with compact_n ~= N/n_tiles the
+    M-sized fills, the [M] tile sort and the expansion all shrink
+    n_tiles-fold per chip (the round-4 36 ms N-bound floor,
+    tools/pod_scaling_probe.py). Live rows beyond compact_n drop
+    farthest-first (depth order), reported as n_dropped_compact."""
     key = (height, width, tile_h, tile_w, max_per_tile, dup_factor,
-           bool(route_bf16), attrs.shape[0])
+           bool(route_bf16), attrs.shape[0],
+           int(compact_n) if compact_n else 0)
     if key not in _BINNING_CACHE:
         _BINNING_CACHE[key] = _make_binning_vjp(*key)
     return _BINNING_CACHE[key](attrs, valid, depths)
@@ -198,14 +213,15 @@ _BINNING_CACHE = {}
 
 
 def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
-                  max_per_tile, dup_factor, want_res: bool):
+                  max_per_tile, dup_factor, compact_n, want_res: bool):
     """Binning stages 1-5. With want_res=True additionally returns the int
     residuals consumed by the custom backward."""
     N = attrs.shape[0]
     ntx = _cdiv(width, tile_w)
     nty = _cdiv(height, tile_h)
     T = ntx * nty
-    M = N * dup_factor
+    Nc = min(compact_n, N) if compact_n else N
+    M = Nc * dup_factor
 
     # ---- 1-3. tile spans (getRect semantics, per-axis tight extents) ------
     # ex/ey are the exact alpha>=1/255 support bbox (projection.py), so the
@@ -249,8 +265,16 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
     _, order, packed_d, span = jax.lax.sort(
         (dkey, iota_n, packed0, span0), num_keys=1, is_stable=True)
 
+    if Nc < N:
+        # cull-compaction: zero-span rows sorted to the end, so the live
+        # set is the leading prefix — a free static slice. Live rows past
+        # Nc (depth-farthest) drop; their would-be entries are counted.
+        total_all = jnp.sum(span0)
+        order, packed_d, span = order[:Nc], packed_d[:Nc], span[:Nc]
+
     offs = jnp.cumsum(span) - span          # exclusive
     total = offs[-1] + span[-1]
+    nd_compact = total_all - total if Nc < N else jnp.asarray(0, jnp.int32)
 
     # slot -> (source gaussian, tile id). Two equivalent expansions:
     # - Pallas merge kernel (TPU): one sequential pass over the M slots
@@ -376,7 +400,7 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
     ent = jnp.take(attrs[:, :10], csrc, axis=0)            # [T, K, 10]
     nd_m = jnp.maximum(total - M, 0)
     nd_tile = jnp.sum(jnp.maximum(ends - starts - K, 0))
-    outs = (ent, meta, total, nd_m, nd_tile)
+    outs = (ent, meta, total, nd_m, nd_tile, nd_compact)
     if not want_res:
         return outs, None
 
@@ -392,8 +416,9 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
 
 
 def _make_binning_vjp(height, width, tile_h, tile_w, max_per_tile,
-                      dup_factor, route_bf16, n_rows):
-    args = (height, width, tile_h, tile_w, max_per_tile, dup_factor)
+                      dup_factor, route_bf16, n_rows, compact_n=0):
+    args = (height, width, tile_h, tile_w, max_per_tile, dup_factor,
+            compact_n or None)
 
     @jax.custom_vjp
     def binning(attrs, valid, depths):
@@ -493,12 +518,13 @@ def rasterize_tiled(
     route_bf16: bool = False,
     blend_tb: int = 8,
     blend_cs: int = 64,
+    compact_n: int | None = None,
 ) -> Dict[str, jax.Array]:
     ntx = _cdiv(width, tile_w)
     nty = _cdiv(height, tile_h)
-    ent, meta, total, nd_m, nd_tile = build_tile_lists(
+    ent, meta, total, nd_m, nd_tile, nd_c = build_tile_lists(
         proj, height, width, tile_h, tile_w, max_per_tile, dup_factor,
-        route_bf16)
+        route_bf16, compact_n)
 
     # ---- 6. blend ---------------------------------------------------------
     # default "xla": AD-differentiated log-space scan (fastest measured:
@@ -521,7 +547,7 @@ def rasterize_tiled(
             ent, meta, tile_h=tile_h, tile_w=tile_w, chunk=chunk)
 
     return _assemble(rgb_t, T_t, dep_t, height, width, ntx, nty, tile_h,
-                     tile_w, bg_color, total, nd_m, nd_tile)
+                     tile_w, bg_color, total, nd_m, nd_tile, nd_c)
 
 
 def rasterize_from_rows(
@@ -540,13 +566,14 @@ def rasterize_from_rows(
     route_bf16: bool = False,
     blend_tb: int = 8,
     blend_cs: int = 64,
+    compact_n: int | None = None,
 ) -> Dict[str, jax.Array]:
     """rasterize_tiled over a pre-packed row table (gauss_shard path)."""
     ntx = _cdiv(width, tile_w)
     nty = _cdiv(height, tile_h)
-    ent, meta, total, nd_m, nd_tile = build_tile_lists_from_rows(
+    ent, meta, total, nd_m, nd_tile, nd_c = build_tile_lists_from_rows(
         attrs, valid, depths, height, width, tile_h, tile_w, max_per_tile,
-        dup_factor, route_bf16)
+        dup_factor, route_bf16, compact_n)
     if backend == "pallas":
         ent16 = jnp.pad(ent, ((0, 0), (0, 0), (0, ATTRS - ent.shape[-1])))
         rgb_t, T_t, dep_t = blend_pallas(ent16, meta, tile_h, tile_w,
@@ -559,11 +586,12 @@ def rasterize_from_rows(
         rgb_t, T_t, dep_t = _jnp_blend_from_ent(
             ent, meta, tile_h=tile_h, tile_w=tile_w, chunk=chunk)
     return _assemble(rgb_t, T_t, dep_t, height, width, ntx, nty, tile_h,
-                     tile_w, bg_color, total, nd_m, nd_tile)
+                     tile_w, bg_color, total, nd_m, nd_tile, nd_c)
 
 
 def _assemble(rgb, T_buf, dep, height, width, ntx, nty, tile_h, tile_w,
-              bg_color, total, nd_m, nd_tile) -> Dict[str, jax.Array]:
+              bg_color, total, nd_m, nd_tile,
+              nd_compact=None) -> Dict[str, jax.Array]:
     def untile(x, ch=None):
         shape = (nty, ntx, tile_h, tile_w) + ((ch,) if ch else ())
         x = x.reshape(shape)
@@ -581,12 +609,15 @@ def _assemble(rgb, T_buf, dep, height, width, ntx, nty, tile_h, tile_w,
     # HBM round-trip that the blend output pays anyway.
     image, dep_u, alpha = jax.lax.optimization_barrier(
         (jnp.clip(image, 0.0, 1.0), untile(dep), 1.0 - untile(T_buf)))
+    nd_c = (jnp.asarray(0, jnp.int32) if nd_compact is None
+            else nd_compact)
     return {
         "image": image,
         "depth": dep_u,
         "alpha": alpha,
         "n_entries": total,
-        "n_dropped": nd_m + nd_tile,
+        "n_dropped": nd_m + nd_tile + nd_c,
         "n_dropped_m": nd_m,
         "n_dropped_tile": nd_tile,
+        "n_dropped_compact": nd_c,
     }

@@ -20,7 +20,6 @@ instead of one shared stream; same distributions).
 
 from __future__ import annotations
 
-import dataclasses
 import random
 from typing import List
 
@@ -29,44 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import adam as adam_lib
-from ..core import gaussians as G
 from ..parallel import mesh as mesh_lib
 from . import phase_a as pa
+from .lockstep import LockstepEngine, _grow_stacked, _stack_images
 
-
-def _stack_images(imgs) -> jnp.ndarray:
-    return jnp.asarray(np.stack([np.asarray(im, np.float32) for im in imgs]))
-
-
-def _grow_stacked(states, opts, logger=None):
-    """Double the capacity of a leading-axis-stacked state/opt pair."""
-    cap = states.capacity if hasattr(states, "capacity") else None
-    st0 = states
-    pad_rows = st0.means.shape[1]
-
-    def pad(x):
-        return jnp.concatenate(
-            [x, jnp.zeros((x.shape[0], pad_rows) + x.shape[2:], x.dtype)],
-            axis=1)
-
-    new_states = dataclasses.replace(
-        st0,
-        **{f: pad(getattr(st0, f)) for f in G.PARAM_FIELDS},
-        live=jnp.concatenate(
-            [st0.live, jnp.zeros((st0.live.shape[0], pad_rows), bool)],
-            axis=1),
-        max_radii2d=pad(st0.max_radii2d),
-        grad_accum=pad(st0.grad_accum),
-        grad_denom=pad(st0.grad_denom),
-    )
-    new_opts = adam_lib.AdamState(
-        m={k: pad(v) for k, v in opts.m.items()},
-        v={k: pad(v) for k, v in opts.v.items()},
-        step=opts.step)
-    if logger:
-        logger.info(f"[parallel leaves] capacity grown to "
-                    f"{new_states.means.shape[1]}")
-    return new_states, new_opts
+__all__ = ["train_leaf_segments_parallel", "_grow_stacked",
+           "_stack_images"]
 
 
 class _LeafCtx:
@@ -127,33 +94,12 @@ def train_leaf_segments_parallel(tr, frame_lists: List[List[int]],
 
     cam0 = tr.camera_for(f0s[0])
     H, W = int(cam0.height), int(cam0.width)
-    tile_args = dict(tr._tile_args) if tr._tile_args else None
-
-    def build_step():
-        return mesh_lib.build_hierarchy_step(
-            mesh, H, W, mode=tr._mode, tile_args=tile_args,
-            lambda_dssim=o.lambda_dssim, lambda_depth=o.lambda_depth)
-
-    step = build_step()
 
     states = pa.stack_states([b.state for b in bundles])
     opts = pa.stack_states([b.opt for b in bundles])
-
-    def lrs_for(iteration):
-        xyz = jnp.stack([
-            adam_lib.expon_lr(
-                iteration, o.position_lr_init * b.spatial_scale,
-                o.position_lr_final * b.spatial_scale,
-                max_steps=o.position_lr_max_steps) for b in bundles])
-        const = lambda v: jnp.full((S,), v, jnp.float32)
-        return {
-            "means": xyz,
-            "sh_dc": const(o.feature_lr),
-            "sh_rest": const(o.feature_lr / 20.0),
-            "opacity_logit": const(o.opacity_lr),
-            "log_scales": const(o.scaling_lr),
-            "quats": const(o.rotation_lr),
-        }
+    eng = LockstepEngine(tr, mesh, states, opts, radii,
+                         [b.spatial_scale for b in bundles], H, W,
+                         label="parallel leaves")
 
     # ------------------------------------------------------------------ #
     # leaf init: leaf_init_iters on each first frame, densify off
@@ -165,87 +111,31 @@ def train_leaf_segments_parallel(tr, frame_lists: List[List[int]],
     if o.lambda_depth:
         depth_init = _stack_images([tr.get_depth(f0) for f0 in f0s])
     for it in range(1, o.leaf_init_iters + 1):
-        states, opts, m = step(states, opts, cams_init, gts_init,
-                               lrs_for(it), depth_gts=depth_init,
-                               apply_code=mesh_lib.APPLY_ALL,
-                               track_stats=False)
+        eng.states, eng.opts, m = eng.step(
+            eng.states, eng.opts, cams_init, gts_init, eng.lrs_for(it),
+            depth_gts=depth_init, apply_code=mesh_lib.APPLY_ALL,
+            track_stats=False)
         if it % 200 == 0:
             tr.logger.info(f"[parallel init] it {it} "
                            f"psnr {np.asarray(m['psnr']).round(2)}")
     # training_setup(fit_pose=True) recreates Adam (moments zeroed)
-    opts = adam_lib.AdamState(
-        m=jax.tree.map(jnp.zeros_like, states.params()),
-        v=jax.tree.map(jnp.zeros_like, states.params()),
+    eng.opts = adam_lib.AdamState(
+        m=jax.tree.map(jnp.zeros_like, eng.states.params()),
+        v=jax.tree.map(jnp.zeros_like, eng.states.params()),
         step=jnp.zeros((S,), jnp.int32))
 
     giter = 0
-    just_reset = False
-    steps_since_tune = 0
 
     def one_iteration(cam_gt_per_leaf, iteration, *, densify=True,
                       interval=None, sched=None, active=None):
-        """One lockstep train iteration across all leaves; mirrors
-        HTGaussianTrainer.host_train_step's scheduling."""
-        nonlocal states, opts, just_reset, steps_since_tune, step, tile_args
-        oo = sched or o
-        interval = interval or oo.densification_interval
-
-        in_window = densify and iteration < oo.densify_until_iter
-        do_densify = (in_window and iteration > oo.densify_from_iter
-                      and iteration % interval == 0)
-        do_reset = (in_window and iteration % oo.opacity_reset_interval == 0
-                    and iteration < oo.reset_until_iter)
-        code = (mesh_lib.APPLY_SKIP if do_densify else
-                mesh_lib.APPLY_NO_OPACITY if do_reset else
-                mesh_lib.APPLY_ALL)
-
-        cams = pa.stack_cameras([c for (c, _) in cam_gt_per_leaf])
-        gts = _stack_images([g for (_, g) in cam_gt_per_leaf])
-        act = jnp.asarray([c.active for c in ctxs] if active is None
-                          else active)
-        states, opts, m = step(states, opts, cams, gts, lrs_for(iteration),
-                               apply_code=code, track_stats=in_window,
-                               active=act)
-
-        steps_since_tune += 1
-        if steps_since_tune >= 50:
-            steps_since_tune = 0
-            nd_m = int(np.max(np.asarray(m["n_dropped_m"])))
-            nd_tile = int(np.max(np.asarray(m["n_dropped_tile"])))
-            if nd_m > 0 or nd_tile > 0:
-                # grow only the exhausted capacity (same policy as
-                # hierarchy.host_train_step — growing both quadruples the
-                # step cost on scenes whose drops are one-sided)
-                ta = dict(tile_args or {})
-                if nd_tile > 0:
-                    ta["max_per_tile"] = min(
-                        2 * ta.get("max_per_tile", 1024), 4096)
-                if nd_m > 0:
-                    ta["dup_factor"] = min(2 * ta.get("dup_factor", 16), 64)
-                if ta != (tile_args or {}):
-                    tile_args = ta
-                    step = build_step()
-                    tr.logger.info(f"[parallel leaves] tile capacity "
-                                   f"grown: {ta}")
-
-        if do_densify:
-            use_screen = iteration > oo.opacity_reset_interval
-            keys = jax.random.split(tr._next_key(), S)
-            states, opts, dropped = mesh_lib.batched_densify_and_prune(
-                states, opts, keys,
-                jnp.asarray(oo.densify_grad_threshold), jnp.asarray(0.005),
-                radii, jnp.asarray(oo.percent_dense), jnp.asarray(20.0),
-                jnp.asarray(use_screen))
-            if int(np.max(np.asarray(dropped))) > 0:
-                states, opts = _grow_stacked(states, opts, tr.logger)
-        if do_reset:
-            states, opts = mesh_lib.batched_reset_opacity(states, opts)
-            just_reset = True
-        if iteration % 1000 == 0:
-            states = dataclasses.replace(
-                states, active_sh_degree=jnp.minimum(
-                    states.active_sh_degree + 1, states.max_sh_degree))
-        return m
+        """One lockstep train iteration across all leaves (shared engine,
+        lockstep.LockstepEngine.one_iteration)."""
+        if active is None:
+            active = [c.active for c in ctxs]
+        return eng.one_iteration(
+            cam_gt_per_leaf, iteration, sched=sched, interval=interval,
+            active=active, densify=densify,
+            gts=_stack_images([g for (_, g) in cam_gt_per_leaf]))
 
     def cam_gt(ctx, fidx, use_vfi):
         """_frame_camera_gt against host-side leaf poses."""
@@ -273,8 +163,8 @@ def train_leaf_segments_parallel(tr, frame_lists: List[List[int]],
         cur = [ctx.frames[min(j + 1, len(ctx.frames) - 1)] for ctx in ctxs]
 
         # reset-recovery replay (train_leaf, just_reset branch)
-        if just_reset:
-            just_reset = False
+        if eng.just_reset:
+            eng.just_reset = False
             for _ in range(1, o.reset_recovery_iters):
                 giter += 1
                 pairs = []
@@ -304,8 +194,8 @@ def train_leaf_segments_parallel(tr, frame_lists: List[List[int]],
     # ------------------------------------------------------------------ #
     # unstack into ModelBundles
     out = []
-    states_list = mesh_lib.unbatch_segments(states, S)
-    opts_list = mesh_lib.unbatch_segments(opts, S)
+    states_list = mesh_lib.unbatch_segments(eng.states, S)
+    opts_list = mesh_lib.unbatch_segments(eng.opts, S)
     for i, (st, op) in enumerate(zip(states_list, opts_list)):
         b = bundles[i]
         out.append(ModelBundle(

@@ -30,7 +30,7 @@ from __future__ import annotations
 import dataclasses
 import random
 from functools import partial
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,7 @@ from ..core import se3
 from ..parallel import mesh as mesh_lib
 from ..raster import render
 from . import phase_a as pa
-from .parallel_leaves import _grow_stacked, _stack_images
+from .lockstep import LockstepEngine, _stack_images
 
 
 def _pad_to_capacity(state: G.GaussianState, opt: adam_lib.AdamState,
@@ -127,88 +127,22 @@ def train_nonleaf_segments_parallel(tr, bundles: List, frame_lists:
 
     cam0 = tr.camera_for(frame_lists[0][0])
     H, W = int(cam0.height), int(cam0.width)
+
+    eng = LockstepEngine(tr, mesh, states, opts, radii,
+                         [b.spatial_scale for b in bundles], H, W,
+                         label="parallel nonleaf")
+    # the phase-1 child renders are FULL-image vmapped forwards (not
+    # tile-sharded row blocks) — the engine's block-sized compact_n must
+    # not apply there
     tile_args = dict(tr._tile_args) if tr._tile_args else None
-
-    def build_step():
-        return mesh_lib.build_hierarchy_step(
-            mesh, H, W, mode=tr._mode, tile_args=tile_args,
-            lambda_dssim=o.lambda_dssim, lambda_depth=o.lambda_depth)
-
-    step = build_step()
     # the sequential path restores the trainer counter from each bundle
     # (merged bundles restart at 0: hierarchy.hierarchical_training sets
     # dst.global_iteration = 0) — the lockstep batch shares the max
     giter = max(b.global_iteration for b in bundles)
-    steps_since_tune = 0
 
     def one_iteration(pairs, iteration, sched, interval, active):
-        nonlocal states, opts, steps_since_tune, step, tile_args
-        oo = sched
-        in_window = iteration < oo.densify_until_iter
-        do_densify = (in_window and iteration > oo.densify_from_iter
-                      and iteration % interval == 0)
-        do_reset = (in_window
-                    and iteration % oo.opacity_reset_interval == 0
-                    and iteration < oo.reset_until_iter)
-        code = (mesh_lib.APPLY_SKIP if do_densify else
-                mesh_lib.APPLY_NO_OPACITY if do_reset else
-                mesh_lib.APPLY_ALL)
-        cams = pa.stack_cameras([c for (c, _) in pairs])
-        gts = (jnp.stack([g for (_, g) in pairs])
-               if any(isinstance(g, jnp.ndarray) for (_, g) in pairs)
-               else _stack_images([g for (_, g) in pairs]))
-
-        xyz = jnp.full((S,), float(adam_lib.expon_lr(
-            iteration, o.position_lr_init, o.position_lr_final,
-            max_steps=o.position_lr_max_steps)), jnp.float32)
-        xyz = xyz * jnp.asarray([b.spatial_scale for b in bundles],
-                                jnp.float32)
-        const = lambda v: jnp.full((S,), v, jnp.float32)
-        lrs = {"means": xyz, "sh_dc": const(o.feature_lr),
-               "sh_rest": const(o.feature_lr / 20.0),
-               "opacity_logit": const(o.opacity_lr),
-               "log_scales": const(o.scaling_lr),
-               "quats": const(o.rotation_lr)}
-
-        states, opts, m = step(states, opts, cams, gts, lrs,
-                               apply_code=code, track_stats=in_window,
-                               active=jnp.asarray(active))
-
-        steps_since_tune += 1
-        if steps_since_tune >= 50:
-            steps_since_tune = 0
-            nd_m = int(np.max(np.asarray(m["n_dropped_m"])))
-            nd_tile = int(np.max(np.asarray(m["n_dropped_tile"])))
-            if nd_m > 0 or nd_tile > 0:
-                ta = dict(tile_args or {})
-                if nd_tile > 0:
-                    ta["max_per_tile"] = min(
-                        2 * ta.get("max_per_tile", 1024), 4096)
-                if nd_m > 0:
-                    ta["dup_factor"] = min(2 * ta.get("dup_factor", 16), 64)
-                if ta != (tile_args or {}):
-                    tile_args = ta
-                    step = build_step()
-                    tr.logger.info(
-                        f"[parallel nonleaf] tile capacity grown: {ta}")
-
-        if do_densify:
-            use_screen = iteration > oo.opacity_reset_interval
-            keys = jax.random.split(tr._next_key(), S)
-            states, opts, dropped = mesh_lib.batched_densify_and_prune(
-                states, opts, keys,
-                jnp.asarray(oo.densify_grad_threshold), jnp.asarray(0.005),
-                radii, jnp.asarray(oo.percent_dense), jnp.asarray(20.0),
-                jnp.asarray(use_screen))
-            if int(np.max(np.asarray(dropped))) > 0:
-                states, opts = _grow_stacked(states, opts, tr.logger)
-        if do_reset:
-            states, opts = mesh_lib.batched_reset_opacity(states, opts)
-        if iteration % 1000 == 0:
-            states = dataclasses.replace(
-                states, active_sh_degree=jnp.minimum(
-                    states.active_sh_degree + 1, states.max_sh_degree))
-        return m
+        return eng.one_iteration(pairs, iteration, sched=sched,
+                                 interval=interval, active=active)
 
     def frame_cam_gt(bundle, fidx, use_vfi):
         pose = bundle.get_RT(fidx)
@@ -337,8 +271,8 @@ def train_nonleaf_segments_parallel(tr, bundles: List, frame_lists:
                 f"psnr {np.asarray(m['psnr']).round(2)}")
 
     # ------------------------------------------------------------------ #
-    states_list = mesh_lib.unbatch_segments(states, S)
-    opts_list = mesh_lib.unbatch_segments(opts, S)
+    states_list = mesh_lib.unbatch_segments(eng.states, S)
+    opts_list = mesh_lib.unbatch_segments(eng.opts, S)
     for b, st, op in zip(bundles, states_list, opts_list):
         b.state, b.opt = st, op
         b.global_iteration = giter

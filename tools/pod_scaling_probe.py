@@ -66,15 +66,18 @@ def main():
                                     opacity_logit=jnp.asarray(logit))
 
     cam_full = make_camera(H, W, intrinsics_from_fov(1.2, H, W))
-    rows = []
-    for n_tiles in (1, 2, 4, 8):
+
+    def block_cam(n_tiles):
         bh = H // n_tiles
         # the mesh's block camera for the MIDDLE shard (worst-case density)
         row0 = (n_tiles // 2) * bh if n_tiles > 1 else 0
-        cam = dataclasses.replace(
+        return dataclasses.replace(
             cam_full, cy=cam_full.cy - float(row0), height=bh,
             clip_tan_x=cam_full.tan_half_fovx,
-            clip_tan_y=cam_full.tan_half_fovy)
+            clip_tan_y=cam_full.tan_half_fovy), bh
+
+    def measure(n_tiles, targs):
+        cam, bh = block_cam(n_tiles)
         target = jnp.zeros((bh, W, 3), jnp.float32)
 
         @jax.jit
@@ -82,23 +85,65 @@ def main():
             def loss_fn(m, s, o):
                 st = dataclasses.replace(state, means=m, sh_dc=s,
                                          opacity_logit=o)
-                out = render(st, cam, mode="tiled", tile_args=tile_args)
-                return jnp.mean((out["image"] - target) ** 2)
+                out = render(st, cam, mode="tiled", tile_args=targs)
+                loss = jnp.mean((out["image"] - target) ** 2)
+                return loss, out["n_dropped_compact"]
 
-            l, g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
-                means, sh_dc, opacity_logit)
-            return l, g
+            (l, ndc), g = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                    means, sh_dc, opacity_logit)
+            return l, ndc, g
 
-        l, g = step(state.means, state.sh_dc, state.opacity_logit)
+        l, ndc, g = step(state.means, state.sh_dc, state.opacity_logit)
         float(l)
         t0 = time.time()
         for _ in range(iters):
-            l, g = step(state.means, state.sh_dc, state.opacity_logit)
+            l, ndc, g = step(state.means, state.sh_dc, state.opacity_logit)
         float(l)
-        ms = (time.time() - t0) / iters * 1000.0
-        rows.append({"n_tiles": n_tiles, "block_h": bh,
-                     "ms_per_step": round(ms, 2)})
-        print(f"block H/{n_tiles} ({bh} rows): {ms:.1f} ms/step",
+        return (time.time() - t0) / iters * 1000.0, int(ndc)
+
+    def live_rows(n_tiles):
+        """Live (span>0) rows of the middle block: sizes compact_n."""
+        from ht3dgs.raster.projection import project as prj
+
+        cam, bh = block_cam(n_tiles)
+        p = prj(state.means, state.scales(), state.quats,
+                state.opacities(), state.sh(), state.live, cam,
+                state.active_sh_degree, state.max_sh_degree)
+        th = tile_args.get("tile_h", 16)
+        tw = tile_args.get("tile_w", 16)
+        ntx, nty = -(-W // tw), -(-bh // th)
+        mx, my = p.means2d[:, 0], p.means2d[:, 1]
+        ex, ey = p.extents[:, 0], p.extents[:, 1]
+        x0 = jnp.clip(jnp.floor((mx - ex) / tw), 0, ntx)
+        x1 = jnp.clip(jnp.floor((mx + ex + tw - 1) / tw), 0, ntx)
+        y0 = jnp.clip(jnp.floor((my - ey) / th), 0, nty)
+        y1 = jnp.clip(jnp.floor((my + ey + th - 1) / th), 0, nty)
+        span = jnp.where(p.valid, jnp.maximum(x1 - x0, 0)
+                         * jnp.maximum(y1 - y0, 0), 0)
+        return int(jnp.sum((span > 0).astype(jnp.int32)))
+
+    rows = []
+    for n_tiles in (1, 2, 4, 8):
+        bh = H // n_tiles
+        ms, _ = measure(n_tiles, tile_args)
+        row = {"n_tiles": n_tiles, "block_h": bh, "ms_per_step": round(ms, 2)}
+        if n_tiles > 1:
+            # block-culled variant: compact to the block's live set (+25%
+            # headroom, 128-aligned) — what the production sharded step
+            # passes via tile_args["compact_n"]
+            nc = live_rows(n_tiles)
+            compact = -(-int(nc * 1.25) // 128) * 128
+            ms_c, ndc = measure(
+                n_tiles, dict(tile_args, compact_n=compact))
+            row.update(ms_per_step_culled=round(ms_c, 2),
+                       compact_n=compact, live_rows=nc,
+                       n_dropped_compact=ndc)
+        rows.append(row)
+        print(f"block H/{n_tiles} ({bh} rows): {ms:.1f} ms/step"
+              + (f" | culled {row['ms_per_step_culled']:.1f} ms"
+                 f" (compact_n={row['compact_n']},"
+                 f" live={row['live_rows']})" if n_tiles > 1 else ""),
               flush=True)
 
     full = rows[0]["ms_per_step"]
@@ -111,7 +156,7 @@ def main():
         # moves 2P(n-1)/n bytes per chip over ICI (~100 GB/s v5e) — only
         # counted for n > 1.
         psum_ms = (2 * 236e6 * (n - 1) / n / 100e9 * 1e3) if n > 1 else 0.0
-        t = r["ms_per_step"] + psum_ms
+        t = r.get("ms_per_step_culled", r["ms_per_step"]) + psum_ms
         proj.append({"chips": n, "pod_ms_per_step": round(t, 2),
                      "pod_mps": round(mp / (t / 1e3), 2),
                      "speedup_vs_1": round(full / t, 2),

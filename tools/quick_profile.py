@@ -80,7 +80,7 @@ def main():
 
     @jax.jit
     def binning(p):
-        ent, meta, total, nd, ndt = build_tile_lists(p, H, W, **tile_kw)
+        ent, meta, total, nd, ndt, *_ = build_tile_lists(p, H, W, **tile_kw)
         return ent, meta
 
     t = timeit(binning, proj)
@@ -91,7 +91,7 @@ def main():
         rows = _pack_attr_rows(p)
 
         def f(r):
-            e, _, _, _, _ = build_tile_lists_from_rows(
+            e, _, _, _, _, _ = build_tile_lists_from_rows(
                 r, p.valid, p.depths, H, W, **tile_kw)
             return jnp.mean(e ** 2)
 

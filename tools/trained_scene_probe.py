@@ -57,7 +57,7 @@ def main():
             p = project(means, st.scales(), st.quats, st.opacities(),
                         st.sh(), st.live, cam, st.active_sh_degree,
                         st.max_sh_degree)
-            ent, meta, total, nd, ndt = build_tile_lists(
+            ent, meta, total, nd, ndt, *_ = build_tile_lists(
                 p, H, W, 16, 16, max_per_tile=384, dup_factor=4)
             return jnp.pad(ent, ((0, 0), (0, 0),
                                  (0, ATTRS - ent.shape[-1]))), meta, total
