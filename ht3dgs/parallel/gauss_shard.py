@@ -97,7 +97,7 @@ def unshard_opt(opt: adam_lib.AdamState) -> adam_lib.AdamState:
 
 
 def build_gauss_sharded_step(mesh: Mesh, height: int, width: int, *,
-                             cull_cap: int,
+                             cull_cap: Optional[int],
                              tile_args: Optional[dict] = None,
                              lambda_dssim: float = 0.2):
     """Train step over a Gaussian-row-sharded model ('tile' axis does double
@@ -106,7 +106,18 @@ def build_gauss_sharded_step(mesh: Mesh, height: int, width: int, *,
 
     step(state_sh, opt_sh, camera, gt [H, W, 3], lrs dict of scalars)
       -> (state_sh', opt_sh', metrics)
-    """
+
+    cull_cap=None skips the source-side frustum cull-compaction and
+    all_gathers the raw packed rows. Combined with a block-sized
+    tile_args["compact_n"] (destination-side cull to the chip's row
+    block inside the binning, raster.tiled) this is the POD
+    configuration: projection/packing divide by n (owned rows only), the
+    binning's expansion/fills/tile-sort divide via compact_n, Adam is
+    shard-local (NO parameter-gradient collective — the only exchanges
+    are the attrs all_gather and its reduce_scatter transpose), and only
+    the destination depth co-sort over the gathered rows stays O(N).
+    Measured per-chip block step at 1M/1080p/8-way on v5e: 20.3 ms vs
+    90.7 single-chip (tools/pod_scaling_probe.py 'routed')."""
     n_sh = mesh.shape["tile"]
     assert height % n_sh == 0, (height, n_sh)
     block_h = height // n_sh
@@ -129,17 +140,23 @@ def build_gauss_sharded_step(mesh: Mesh, height: int, width: int, *,
             proj = proj._replace(means2d=proj.means2d + probe * scale)
 
             attrs = _pack_attr_rows(proj)
-            # local cull-compaction: survivors first (stable), then gather
-            order = jnp.argsort(~proj.valid, stable=True)[:cull_cap]
-            attrs_c = jnp.take(attrs, order, axis=0)
-            valid_c = jnp.take(proj.valid, order)
-            depth_c = jnp.take(proj.depths, order)  # +inf for invalid
-            n_lost = jnp.maximum(
-                jnp.sum(proj.valid.astype(jnp.int32)) - cull_cap, 0)
+            if cull_cap is not None:
+                # local cull-compaction: survivors first (stable), gather
+                order = jnp.argsort(~proj.valid, stable=True)[:cull_cap]
+                attrs_c = jnp.take(attrs, order, axis=0)
+                valid_c = jnp.take(proj.valid, order)
+                depth_c = jnp.take(proj.depths, order)  # +inf for invalid
+                n_lost = jnp.maximum(
+                    jnp.sum(proj.valid.astype(jnp.int32)) - cull_cap, 0)
+            else:
+                # pod configuration: ship the raw packed rows; the
+                # destination block-culls inside the binning (compact_n)
+                attrs_c, valid_c, depth_c = attrs, proj.valid, proj.depths
+                n_lost = jnp.asarray(0, jnp.int32)
 
             def ag(x):
                 g = jax.lax.all_gather(x, "tile")
-                return g.reshape((n_sh * cull_cap,) + x.shape[1:])
+                return g.reshape((g.shape[0] * g.shape[1],) + g.shape[2:])
 
             attrs_g = ag(attrs_c)
             # shift screen-y into this shard's row-block frame
@@ -175,6 +192,9 @@ def build_gauss_sharded_step(mesh: Mesh, height: int, width: int, *,
             "psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-12)),
             "n_dropped": jax.lax.psum(out["n_dropped"], "tile"),
             "n_culled_dropped": jax.lax.psum(n_lost, "tile"),
+            "n_dropped_compact": jax.lax.psum(
+                out.get("n_dropped_compact", jnp.asarray(0, jnp.int32)),
+                "tile"),
         }
         return state.replace_params(new_params), new_opt, metrics
 
@@ -206,7 +226,7 @@ def build_gauss_sharded_step(mesh: Mesh, height: int, width: int, *,
                 spec_tree(state_sh, P("tile")),
                 spec_tree(opt_sh, P("tile")),
                 {"loss": P(), "psnr": P(), "n_dropped": P(),
-                 "n_culled_dropped": P()},
+                 "n_culled_dropped": P(), "n_dropped_compact": P()},
             ),
             check_vma=False,
         )

@@ -269,6 +269,11 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
         # cull-compaction: zero-span rows sorted to the end, so the live
         # set is the leading prefix — a free static slice. Live rows past
         # Nc (depth-farthest) drop; their would-be entries are counted.
+        # NEGATIVE RESULT (r5, measured on v5e): compacting BEFORE the
+        # sort with a cumsum mask-scatter into [Nc] buffers (4 hinted
+        # masked stores, then a 4-op sort over only Nc rows) LOSES badly —
+        # culled H/2 block step 52.9 -> 76.2 ms; XLA's scatter lowering
+        # dominates. The depth co-sort over N + free slice stands.
         total_all = jnp.sum(span0)
         order, packed_d, span = order[:Nc], packed_d[:Nc], span[:Nc]
 

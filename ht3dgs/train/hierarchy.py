@@ -431,6 +431,10 @@ class HTGaussianTrainer(GaussianTrainer):
                     "quats": jnp.full((B,), o.rotation_lr, jnp.float32),
                 },
             )
+            # multi-chip: partition the batch axis across the devices —
+            # the fits are collective-free, so GSPMD runs B/n per chip
+            states, opts, cams, gts, lr_args = pa.shard_batch(
+                (states, opts, cams, gts, lr_args))
             states, opts = pa.batched_fit(
                 states, opts, cams, gts, lr_args, mode=self._mode,
                 tile_args=self._tile_args, lambda_dssim=o.lambda_dssim,
@@ -438,16 +442,17 @@ class HTGaussianTrainer(GaussianTrainer):
             _sync_device(states)
             self.logger.info(f"[Phase A/batched] fitted pairs {chunk}")
 
-            bases = jnp.broadcast_to(
-                jnp.asarray([0, 0, 0, 0, 0, 0, 1], jnp.float32), (B, 7))
+            bases = pa.shard_batch(jnp.broadcast_to(
+                jnp.asarray([0, 0, 0, 0, 0, 0, 1], jnp.float32), (B, 7)))
             lr = jnp.asarray(o.rotation_lr if o.pose_lr is None
                  else o.pose_lr, jnp.float32)
 
             if not use_vfi:
-                cams_ref = pa.stack_cameras(
-                    [self.camera_for(f) for (f, _) in padded])
-                gts_ref = jnp.stack([jnp.asarray(self.load_image(f))
-                                     for (f, _) in padded])
+                cams_ref, gts_ref = pa.shard_batch((
+                    pa.stack_cameras(
+                        [self.camera_for(f) for (f, _) in padded]),
+                    jnp.stack([jnp.asarray(self.load_image(f))
+                               for (f, _) in padded])))
                 deltas = self._pose_fitter()(
                     states, bases, cams_ref, gts_ref, lr, mode=self._mode,
                     tile_args=self._tile_args, lambda_dssim=o.lambda_dssim,
@@ -473,6 +478,8 @@ class HTGaussianTrainer(GaussianTrainer):
                 jnp.asarray([o.position_lr_final * b.spatial_scale
                              for b in bundles_v], jnp.float32),
                 o.position_lr_max_steps, lr_args[3])
+            states_v, opts_v, gts_v, lr_args_v = pa.shard_batch(
+                (states_v, opts_v, gts_v, lr_args_v))
             states_v, opts_v = pa.batched_fit(
                 states_v, opts_v, cams, gts_v, lr_args_v, mode=self._mode,
                 tile_args=self._tile_args, lambda_dssim=o.lambda_dssim,
@@ -486,10 +493,11 @@ class HTGaussianTrainer(GaussianTrainer):
                 tile_args=self._tile_args, lambda_dssim=o.lambda_dssim,
                 n_iters=o.phase_a_pose_iters)
             _sync_device(deltas1)
-            cams_ref = pa.stack_cameras(
-                [self.camera_for(f) for (f, _) in padded])
-            gts_ref = jnp.stack([jnp.asarray(self.load_image(f))
-                                 for (f, _) in padded])
+            cams_ref, gts_ref = pa.shard_batch((
+                pa.stack_cameras(
+                    [self.camera_for(f) for (f, _) in padded]),
+                jnp.stack([jnp.asarray(self.load_image(f))
+                           for (f, _) in padded])))
             deltas2 = self._pose_fitter()(
                 states_v, bases, cams_ref, gts_ref, lr, mode=self._mode,
                 tile_args=self._tile_args, lambda_dssim=o.lambda_dssim,

@@ -9,7 +9,11 @@ The pairs are data-independent, so on TPU we vmap B local models through a
 single jitted fori_loop: one dispatch for the whole fit instead of
 B·1000 host round-trips, with the VPU/MXU batching across models. On a
 multi-chip mesh the batch axis shards across chips (embarrassingly
-parallel).
+parallel): `shard_batch` places the stacked inputs with the leading axis
+partitioned over all devices and GSPMD partitions the whole vmapped fit
+graph along it — no collectives exist in the graph, so per-chip work is
+B/n fits (the orchestrator applies it whenever B divides the device
+count; hierarchy.py Phase A batched path and __graft_entry__'s dryrun).
 
 Early stopping (reference: PSNR>35 after 500 iters) is reproduced with a
 per-model `active` mask folded into the update, so batched results match
@@ -19,7 +23,7 @@ the sequential schedule's dynamics.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -101,6 +105,42 @@ def _batched_fit_exec(states, opts, cameras, gts, lr_args, active, it0,
         return states, opts, active
 
     return jax.lax.fori_loop(0, n_iters, body, (states, opts, active))
+
+
+def shard_batch(tree, devices=None, batch_dim: Optional[int] = None):
+    """Place every [B, ...] leaf of a stacked pytree with its leading
+    batch axis partitioned across the devices (1-D "batch" mesh); leaves
+    whose leading dim does not divide the device count stay replicated.
+    The batched Phase A fits are collective-free, so GSPMD partitions the
+    whole vmapped graph along the batch axis — embarrassingly parallel
+    pose/fit work at B/n models per chip.
+
+    No-op (tree untouched, single-device placement) when the batch size —
+    `batch_dim` if given, else the largest leaf leading dim — does not
+    divide the device count: replicating everything onto an n-device SPMD
+    program would multiply the work n-fold for nothing."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    if n <= 1:
+        return tree
+    if batch_dim is None:
+        dims = [x.shape[0] for x in jax.tree.leaves(tree)
+                if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1]
+        batch_dim = max(dims) if dims else 0
+    if batch_dim % n != 0 or batch_dim == 0:
+        return tree
+    mesh = Mesh(np.asarray(devices), ("batch",))
+
+    def place(x):
+        x = jnp.asarray(x)
+        spec = (P("batch") if x.ndim >= 1 and x.shape[0] % n == 0
+                else P())
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, tree)
 
 
 def batched_fit(states, opts, cameras, gts, lr_args, *, mode="auto",

@@ -298,26 +298,33 @@ def test_gauss_sharded_step_matches_single_device():
         track_stats=True, lambda_dssim=0.2,
         tile_args=tuple(sorted(targs.items())))
 
-    step = gs.build_gauss_sharded_step(mesh, H, W, cull_cap=32,
-                                       tile_args=targs, lambda_dssim=0.2)
-    sh, oh = gs.shard_state(state, 4), gs.shard_opt(opt, 4)
-    sh, oh, m = step(sh, oh, cam, gt, lrs)
-    su, ou = gs.unshard_state(sh), gs.unshard_opt(oh)
+    # plain; with post-gather block cull-compaction; and the POD
+    # configuration (no source cull, raw rows gathered, destination
+    # block-compaction) — all must reproduce the single-device step
+    # exactly (VERDICT r4 #1)
+    for cull, targs_s in ((32, targs), (32, dict(targs, compact_n=128)),
+                          (None, dict(targs, compact_n=128))):
+        step = gs.build_gauss_sharded_step(mesh, H, W, cull_cap=cull,
+                                           tile_args=targs_s,
+                                           lambda_dssim=0.2)
+        sh, oh = gs.shard_state(state, 4), gs.shard_opt(opt, 4)
+        sh, oh, m = step(sh, oh, cam, gt, lrs)
+        su, ou = gs.unshard_state(sh), gs.unshard_opt(oh)
 
-    assert int(m["n_culled_dropped"]) == 0
-    np.testing.assert_allclose(float(m["psnr"]), float(m_ref["psnr"]),
-                               atol=1e-3)
-    for k in s_ref.params():
-        np.testing.assert_allclose(
-            np.asarray(su.params()[k]), np.asarray(s_ref.params()[k]),
-            atol=1e-5, err_msg=k)
-        np.testing.assert_allclose(
-            np.asarray(ou.m[k]), np.asarray(o_ref.m[k]), atol=1e-5,
-            err_msg=k)
-    np.testing.assert_allclose(np.asarray(su.grad_accum),
-                               np.asarray(s_ref.grad_accum), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(su.max_radii2d),
-                               np.asarray(s_ref.max_radii2d), atol=1e-4)
+        assert int(m["n_culled_dropped"]) == 0
+        np.testing.assert_allclose(float(m["psnr"]), float(m_ref["psnr"]),
+                                   atol=1e-3)
+        for k in s_ref.params():
+            np.testing.assert_allclose(
+                np.asarray(su.params()[k]), np.asarray(s_ref.params()[k]),
+                atol=1e-5, err_msg=k)
+            np.testing.assert_allclose(
+                np.asarray(ou.m[k]), np.asarray(o_ref.m[k]), atol=1e-5,
+                err_msg=k)
+        np.testing.assert_allclose(np.asarray(su.grad_accum),
+                                   np.asarray(s_ref.grad_accum), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(su.max_radii2d),
+                                   np.asarray(s_ref.max_radii2d), atol=1e-4)
 
 
 def test_gauss_sharded_densify_runs():

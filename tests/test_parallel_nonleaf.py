@@ -57,9 +57,29 @@ def test_parallel_nonleaf_e2e(dataset, tmp_path, monkeypatch):
     optim.densification_interval_leaf = 40
     optim.densify_from_iter = 15
 
+    # packed pseudo renders: the old path dispatched one child render per
+    # phase-1 iteration (discarding non-pseudo lanes); the packed queue
+    # dispatches ~mss_phase1_ratio per iteration — count them
+    import ht3dgs.train.parallel_nonleaf as pnl
+
+    calls = {"n": 0}
+    orig_render = pnl._batched_child_render
+
+    def counting_render(*a, **k):
+        calls["n"] += 1
+        return orig_render(*a, **k)
+
+    monkeypatch.setattr(pnl, "_batched_child_render", counting_render)
+
     tr = HTGaussianTrainer(img_dir, model, pipe, optim, seed=0)
     assert tr.seq_len == 12
     bundle = tr.hierarchical_training()
+
+    # phase-1 iteration count with these budgets: level 1 = 2 iters/frame
+    # x ~7 union frames (x2 sibling segs in lockstep), level 0 = 2 x 12;
+    # the OLD path dispatched one render per iteration (~38); the packed
+    # queue needs ~ratio (0.5) of that
+    assert 0 < calls["n"] <= 24, calls["n"]
 
     # the parallel non-leaf path actually ran (level 1 has 2 siblings)
     timing = tr.timer.summary()

@@ -123,6 +123,79 @@ def main():
                          * jnp.maximum(y1 - y0, 0), 0)
         return int(jnp.sum((span > 0).astype(jnp.int32)))
 
+    def measure_routed(n_tiles, compact):
+        """Per-chip step of the projection-sharded + block-compacted
+        design: each chip projects and packs only its cap/n owned rows,
+        all_gathers the packed [N, 16] attrs table (emulated here by
+        concatenating the other ranges as constants; the gather itself is
+        modeled from ring bandwidth in the projection below), y-shifts
+        into its row-block frame and runs the block-compacted binning
+        (rasterize_from_rows + compact_n). Projection — the last big
+        N-bound forward stage after compaction — divides by n; only the
+        destination-side depth co-sort over N remains full-size."""
+        from ht3dgs.raster.projection import project as prj
+        from ht3dgs.raster.tiled import (_pack_attr_rows,
+                                         rasterize_from_rows)
+
+        n = n_tiles
+        bh = H // n
+        row0 = float((n // 2) * bh if n > 1 else 0)
+        cap = state.capacity
+        cap_n = cap // n
+        i_own = n // 2
+
+        proj_full = prj(state.means, state.scales(), state.quats,
+                        state.opacities(), state.sh(), state.live,
+                        cam_full, state.active_sh_degree,
+                        state.max_sh_degree)
+        attrs_full = _pack_attr_rows(proj_full)
+        sl_own = slice(i_own * cap_n, (i_own + 1) * cap_n)
+        pre = attrs_full[: sl_own.start]
+        post = attrs_full[sl_own.stop:]
+        pre_v, post_v = (proj_full.valid[: sl_own.start],
+                         proj_full.valid[sl_own.stop:])
+        pre_d, post_d = (proj_full.depths[: sl_own.start],
+                         proj_full.depths[sl_own.stop:])
+
+        own = dataclasses.replace(
+            state,
+            **{f: getattr(state, f)[sl_own]
+               for f in ("means", "quats", "log_scales", "sh_dc",
+                         "sh_rest", "opacity_logit")},
+            live=state.live[sl_own])
+        target = jnp.zeros((bh, W, 3), jnp.float32)
+        targs = dict(tile_args)
+        if compact:
+            targs["compact_n"] = compact
+
+        @jax.jit
+        def step(means, sh_dc, opacity_logit):
+            def loss_fn(m, s, o):
+                stt = dataclasses.replace(own, means=m, sh_dc=s,
+                                          opacity_logit=o)
+                p = prj(stt.means, stt.scales(), stt.quats,
+                        stt.opacities(), stt.sh(), stt.live, cam_full,
+                        stt.active_sh_degree, stt.max_sh_degree)
+                attrs = jnp.concatenate([pre, _pack_attr_rows(p), post])
+                attrs = attrs.at[:, 1].add(-row0)
+                out = rasterize_from_rows(
+                    attrs, jnp.concatenate([pre_v, p.valid, post_v]),
+                    jnp.concatenate([pre_d, p.depths, post_d]), bh, W,
+                    jnp.zeros((3,), jnp.float32), **targs)
+                return jnp.mean((out["image"] - target) ** 2)
+
+            l, g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+                means, sh_dc, opacity_logit)
+            return l, g
+
+        l, g = step(own.means, own.sh_dc, own.opacity_logit)
+        float(l)
+        t0 = time.time()
+        for _ in range(iters):
+            l, g = step(own.means, own.sh_dc, own.opacity_logit)
+        float(l)
+        return (time.time() - t0) / iters * 1000.0, cap_n
+
     rows = []
     for n_tiles in (1, 2, 4, 8):
         bh = H // n_tiles
@@ -136,12 +209,18 @@ def main():
             compact = -(-int(nc * 1.25) // 128) * 128
             ms_c, ndc = measure(
                 n_tiles, dict(tile_args, compact_n=compact))
+            # projection-sharded variant: projection/packing divide too;
+            # the attrs table is exchanged (all_gather) instead
+            ms_r, cap_n = measure_routed(n_tiles, compact)
             row.update(ms_per_step_culled=round(ms_c, 2),
                        compact_n=compact, live_rows=nc,
-                       n_dropped_compact=ndc)
+                       n_dropped_compact=ndc,
+                       ms_per_step_routed=round(ms_r, 2),
+                       cap_n=cap_n)
         rows.append(row)
         print(f"block H/{n_tiles} ({bh} rows): {ms:.1f} ms/step"
               + (f" | culled {row['ms_per_step_culled']:.1f} ms"
+                 f" | routed {row['ms_per_step_routed']:.1f} ms"
                  f" (compact_n={row['compact_n']},"
                  f" live={row['live_rows']})" if n_tiles > 1 else ""),
               flush=True)
@@ -157,10 +236,25 @@ def main():
         # counted for n > 1.
         psum_ms = (2 * 236e6 * (n - 1) / n / 100e9 * 1e3) if n > 1 else 0.0
         t = r.get("ms_per_step_culled", r["ms_per_step"]) + psum_ms
-        proj.append({"chips": n, "pod_ms_per_step": round(t, 2),
-                     "pod_mps": round(mp / (t / 1e3), 2),
-                     "speedup_vs_1": round(full / t, 2),
-                     "psum_ms_est": round(psum_ms, 2)})
+        entry = {"chips": n, "pod_ms_per_step": round(t, 2),
+                 "pod_mps": round(mp / (t / 1e3), 2),
+                 "speedup_vs_1": round(full / t, 2),
+                 "psum_ms_est": round(psum_ms, 2)}
+        if "ms_per_step_routed" in r:
+            # projection-sharded pod configuration (gauss_shard with
+            # cull_cap=None + compact_n): params/Adam are shard-local, so
+            # the ONLY collectives are the packed-attrs all_gather (fwd,
+            # ~72 B/row over N) and its reduce_scatter transpose (bwd);
+            # ring moves (n-1)/n of the volume each way
+            ag_ms = (2 * n * r["cap_n"] * 72.0) \
+                * (n - 1) / n / 100e9 * 1e3
+            t_r = r["ms_per_step_routed"] + ag_ms
+            entry.update(
+                routed_pod_ms_per_step=round(t_r, 2),
+                routed_pod_mps=round(mp / (t_r / 1e3), 2),
+                routed_speedup_vs_1=round(full / t_r, 2),
+                gather_ms_est=round(ag_ms, 2))
+        proj.append(entry)
     print(json.dumps({"blocks": rows, "pod_projection": proj}))
 
 
