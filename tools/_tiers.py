@@ -19,6 +19,10 @@ comes from densify/prune alone.
 
 
 def tier_dims(tier: str):
+    if tier == "scale":
+        # reference-shaped: >=48 frames, train_level=2 (two merge levels,
+        # MSS phase 1 on genuinely merged children), medium res
+        return 160, 208, 48
     if tier == "full":
         return 192, 256, 16
     if tier == "medium":
@@ -53,7 +57,25 @@ def apply_tier(tier: str, model, pipe, optim, data_dir):
     pipe.train_pose_mode = None
     optim.pose_lr = 3e-3
 
-    if tier == "full":
+    if tier == "scale":
+        # the round-5 reference-scale TPU run (VERDICT r4 missing #2):
+        # level-2 hierarchy (4 leaves -> 2 merges -> root), 48-frame pose
+        # chain. Budgets = medium tier's; capacities preset like the full
+        # tier so the auto-grow never recompiles the big graphs mid-run.
+        pipe.train_level = 2
+        pipe.init_max_points = 8_000
+        pipe.phase_a_batch = 4
+        pipe.tile_max_per_tile = 2048
+        pipe.tile_dup_factor = 32
+        optim.single_step = 80
+        optim.phase_a_fit_iters = 300
+        optim.phase_a_pose_iters = 120
+        optim.leaf_init_iters = 300
+        optim.mss_phase1_iteration_per_frame = 10
+        optim.densification_interval = 100
+        optim.densification_interval_leaf = 100
+        optim.densify_from_iter = 50
+    elif tier == "full":
         # sized for the remote (axon) single-chip service: the 288x384/24f
         # variant's post-merge root phase (auto-grown capacities on the
         # ~200k-gaussian merged model) exceeds the service's tolerance.

@@ -6,12 +6,14 @@ real texture, exact GT poses + depth), trains the full SfM-free
 hierarchical pipeline on it, then reports train-view PSNR and pose ATE/RPE
 against the exact ground truth. Appends a row to RESULTS.md.
 
-Usage: python tools/real_image_bench.py [out_dir] [--full|--medium]
+Usage: python tools/real_image_bench.py [out_dir] [--full|--medium|--scale]
   default:  quick CPU-sized run (96x128, 10 frames, short budgets)
   --medium: CPU-feasible overnight tier (160x208, 12 frames, ~1/3 of the
             reference per-stage budgets)
   --full:   video-sized run for a real chip (tiled renderer; dims in
             tools/_tiers.py, sized for the remote single-chip service)
+  --scale:  reference-shaped run: 48 frames, train_level=2 (two merge
+            levels, MSS phase 1 on merged children), 160x208
 """
 
 import os
@@ -27,6 +29,7 @@ def main():
         not sys.argv[1].startswith("-") else "/tmp/ht3dgs_real_bench"
     full = "--full" in sys.argv
     medium = "--medium" in sys.argv
+    scale = "--scale" in sys.argv
     if "--cpu" in sys.argv:
         # sitecustomize pre-imports jax on the axon TPU platform; the env
         # var is too late — force via jax.config (CLAUDE.md gotcha)
@@ -44,7 +47,8 @@ def main():
 
     os.makedirs(out_dir, exist_ok=True)
     data_dir = os.path.join(out_dir, "data")
-    tier = "full" if full else ("medium" if medium else "quick")
+    tier = ("scale" if scale else "full" if full
+            else "medium" if medium else "quick")
     h, w, n_frames = tier_dims(tier)
     gt_w2c, _ = photo_scene.write_dataset(data_dir, n_frames=n_frames,
                                           height=h, width=w)
