@@ -192,3 +192,70 @@ def camera_intrinsics(cam: ColmapCamera) -> np.ndarray:
     else:
         raise ValueError(f"unsupported COLMAP camera model {cam.model}")
     return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float32)
+
+
+# --------------------------------------------------------------------------
+# binary writers (mirror of the readers above; used to export scenes in
+# COLMAP layout and by the synthetic COLMAP-ingestion e2e fixture —
+# format per colmap/src/base/reconstruction.cc, the same layout
+# /root/reference/scene/colmap_loader.py parses)
+
+def rotmat2qvec(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> [w, x, y, z] unit quaternion."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                         (R[0, 2] - R[2, 0]) / s,
+                         (R[1, 0] - R[0, 1]) / s])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(R[i, i] - R[j, j] - R[k, k] + 1.0) * 2
+    q = np.empty(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
+def write_cameras_binary(cams: Dict[int, ColmapCamera], path: str) -> None:
+    model_ids = {name: mid for mid, (name, _) in CAMERA_MODELS.items()}
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(cams)))
+        for cam in cams.values():
+            f.write(struct.pack("<iiQQ", cam.id, model_ids[cam.model],
+                                cam.width, cam.height))
+            f.write(struct.pack(f"<{len(cam.params)}d", *cam.params))
+
+
+def write_images_binary(images: Dict[int, ColmapImage], path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(images)))
+        for im in images.values():
+            f.write(struct.pack("<idddddddi", im.id, *im.qvec, *im.tvec,
+                                im.camera_id))
+            f.write(im.name.encode("utf-8") + b"\x00")
+            f.write(struct.pack("<Q", 0))     # no 2D points
+
+
+def write_points3d_binary(xyz: np.ndarray, rgb: np.ndarray,
+                          path: str) -> None:
+    """rgb in [0, 1]."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(xyz)))
+        for i in range(len(xyz)):
+            r, g, b = (np.clip(rgb[i], 0, 1) * 255).astype(np.uint8)
+            f.write(struct.pack("<QdddBBBd", i + 1, *xyz[i].astype(float),
+                                int(r), int(g), int(b), 0.0))
+            f.write(struct.pack("<Q", 0))     # empty track
+
+
+def write_model(sparse_dir: str, cams: Dict[int, ColmapCamera],
+                images: Dict[int, ColmapImage],
+                xyz: np.ndarray, rgb: np.ndarray) -> None:
+    os.makedirs(sparse_dir, exist_ok=True)
+    write_cameras_binary(cams, os.path.join(sparse_dir, "cameras.bin"))
+    write_images_binary(images, os.path.join(sparse_dir, "images.bin"))
+    write_points3d_binary(xyz, rgb, os.path.join(sparse_dir,
+                                                 "points3D.bin"))

@@ -90,12 +90,19 @@ def _split(n: int, sample_rate: int):
     return i_train, i_test
 
 
-def sample_rate_for(path: str) -> int:
+def sample_rate_for(path: str, override=None) -> int:
+    """Reference quirk (dataset_readers.py:424-427): stride 2 for Family,
+    8 otherwise, inferred from the path. `override` (model_cfg
+    .test_sample_rate) bypasses the substring match — a directory that
+    merely CONTAINS "Family" would otherwise silently halve the split."""
+    if override:
+        return int(override)
     return 2 if "Family" in path else 8
 
 
 def read_images_only(path: str, fovx: float, fovy: Optional[float] = None,
-                     resolution: int = -1, do_split: bool = True) -> SceneInfo:
+                     resolution: int = -1, do_split: bool = True,
+                     sample_rate: Optional[int] = None) -> SceneInfo:
     """A directory of video frames, no poses (the main SfM-free input,
     readImagesOnlyInfo /root/reference/scene/dataset_readers.py:418-450)."""
     files = sorted(p for p in glob.glob(os.path.join(path, "*"))
@@ -122,7 +129,8 @@ def read_images_only(path: str, fovx: float, fovy: Optional[float] = None,
         for i, p in enumerate(files)
     ]
     if do_split:
-        i_train, i_test = _split(len(frames), sample_rate_for(path))
+        i_train, i_test = _split(len(frames),
+                                 sample_rate_for(path, sample_rate))
     else:
         i_train, i_test = np.arange(len(frames)), np.array([], dtype=int)
     return SceneInfo(
@@ -134,7 +142,7 @@ def read_images_only(path: str, fovx: float, fovy: Optional[float] = None,
 
 
 def read_colmap(path: str, images_dir: str = "images", resolution: int = -1,
-                do_split: bool = True) -> SceneInfo:
+                do_split: bool = True, sample_rate: Optional[int] = None) -> SceneInfo:
     """COLMAP scene with GT poses (used for pose evaluation,
     readColmapSceneInfo /root/reference/scene/dataset_readers.py:150-201)."""
     from . import colmap as cl
@@ -164,7 +172,8 @@ def read_colmap(path: str, images_dir: str = "images", resolution: int = -1,
             R=R.astype(np.float32), T=im.tvec.astype(np.float32)))
 
     if do_split:
-        i_train, i_test = _split(len(frames), sample_rate_for(path))
+        i_train, i_test = _split(len(frames),
+                                 sample_rate_for(path, sample_rate))
     else:
         i_train, i_test = np.arange(len(frames)), np.array([], dtype=int)
     pts, cols = (points[0], points[1]) if points else (None, None)

@@ -48,8 +48,9 @@ def eval_nvs(trainer, checkpoint: Optional[str] = None,
         # sample_rate-th video frame, test frames sit between them, and
         # each test pose initializes from the bracketing train pose
         # (trainer/ht3dgs_trainer.py:1006-1023)
-        sample_rate = 2 if "Family" in result_path + trainer.data_path \
-            else 8
+        sample_rate = (trainer.model_cfg.test_sample_rate
+                       or (2 if "Family" in result_path + trainer.data_path
+                           else 8))
         if sample_rate == 2:
             init = poses_pred[0::sample_rate - 1][:seq_len]
         else:

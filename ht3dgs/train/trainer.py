@@ -84,13 +84,15 @@ class GaussianTrainer:
                                      do_split=do_split)
         elif dtype in ("images_only",):
             assert m.FovX is not None, "images_only needs ModelParams.FovX"
-            info = readers.read_images_only(self.data_path, m.FovX, m.FovY,
-                                            resolution=m.resolution,
-                                            do_split=do_split)
+            info = readers.read_images_only(
+                self.data_path, m.FovX, m.FovY, resolution=m.resolution,
+                do_split=do_split,
+                sample_rate=getattr(m, "test_sample_rate", None))
         elif dtype in ("colmap", "tanks"):
-            info = readers.read_colmap(self.data_path, images_dir=m.images,
-                                       resolution=m.resolution,
-                                       do_split=do_split)
+            info = readers.read_colmap(
+                self.data_path, images_dir=m.images,
+                resolution=m.resolution, do_split=do_split,
+                sample_rate=getattr(m, "test_sample_rate", None))
         elif dtype == "blender":
             info = readers.read_blender(self.data_path,
                                         resolution=m.resolution)

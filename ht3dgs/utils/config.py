@@ -45,6 +45,10 @@ class ModelConfig:
     category: str = ""
     seq_name: str = ""
     data_type: str = "images_only"   # resolved from mode at load time
+    test_sample_rate: Optional[int] = None
+    #   train/test split stride. None = reference quirk: 2 if "Family"
+    #   appears in the data path else 8 (dataset_readers.py:424-427) —
+    #   set explicitly for any directory that happens to contain "Family"
 
 
 @dataclass
