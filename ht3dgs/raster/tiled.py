@@ -257,9 +257,9 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
     # [N,2] row gather at the sorted order — gathers cost ~11 ns/index on
     # v5e while an extra sort operand costs ~1.6 ns/row.
     # Zero-span gaussians sort to the END (key = +inf like culled rows):
-    # they emit no entries, so this is semantics-free, and it makes offs
-    # STRICTLY increasing over the live prefix — the window-bound invariant
-    # of the Pallas fills merge (pallas_binfill.py).
+    # they emit no entries, so this is semantics-free, it makes offs
+    # STRICTLY increasing over the live prefix, and it is what makes the
+    # compact_n cull-compaction below a free slice.
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
     dkey = jnp.where(span0 > 0, depths, jnp.inf)
     _, order, packed_d, span = jax.lax.sort(
@@ -281,89 +281,71 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
     total = offs[-1] + span[-1]
     nd_compact = total_all - total if Nc < N else jnp.asarray(0, jnp.int32)
 
-    # slot -> (source gaussian, tile id). Two equivalent expansions:
-    # - Pallas merge kernel (TPU): one sequential pass over the M slots
-    #   against the depth-sorted gaussian table (pallas_binfill.py), no
-    #   scatters, no [M]-length scan chains;
-    # - XLA fallback (CPU / odd shapes): scatter each segment start into
-    #   its slot and forward-fill (gather-free, O(M), _seg_ffill).
-    # Both carry ORIGINAL row ids, so every downstream consumer (ent
-    # gather, backward segment sums) indexes the unsorted attr table
-    # directly: no un-depth-sort permutation anywhere.
+    # slot -> (source gaussian, tile id): scatter each segment start into
+    # its slot and forward-fill (gather-free, O(M), _seg_ffill), carrying
+    # ORIGINAL row ids, so every downstream consumer (ent gather, backward
+    # segment sums) indexes the unsorted attr table directly: no
+    # un-depth-sort permutation anywhere.
+    # (A Pallas merge-kernel expansion — one sequential pass over the M
+    # slots against the depth-sorted table — was built, tested, and
+    # benchmarked in rounds 3-4: 26 ms vs 21 ms for this XLA chain at
+    # M=4M on v5e (~20% VPU efficiency on its [L, W] compare/dot volume).
+    # Deleted in round 5 after losing twice; see git history
+    # raster/pallas_binfill.py if a future toolchain reopens the gap.)
     m = jnp.arange(M, dtype=jnp.int32)
-    from .pallas_binfill import build_colsT, fills_pallas
-
-    # Measured on v5e at the bench point (M=4M): XLA fills 21 ms, Pallas
-    # merge kernel 26 ms (correct — tests/test_binfill.py — but the [L, W]
-    # compare/dot volume runs at ~20% VPU efficiency and loses to the
-    # scatter+cummax chain). Kept as tested infrastructure; flip here to
-    # re-evaluate on future hardware/toolchains.
-    use_pallas_fills = False
-    if use_pallas_fills:
-        # build_colsT's bf16 one-hot dot is exact only for whole coords
-        # < 2^8 (fills_pallas asserts ntx; y0 has the same bound)
-        assert nty < 256, f"tile grid height {nty} >= 256 (see fills_pallas)"
-        mask = (1 << bits) - 1
-        colsT = build_colsT(packed_d >> (2 * bits),
-                            (packed_d >> bits) & mask,
-                            jnp.maximum(packed_d & mask, 1), offs, order)
-        tile_raw, src = fills_pallas(colsT, M, ntx)
-        src = jnp.clip(src, 0, N - 1)
-        tile_id = jnp.where(m < total, tile_raw, T)  # sentinel -> end
-    else:
-        pb = max(int(N).bit_length(), 1)
-        assert pb <= 27, f"capacity {N} overflows the ffill payload"
-        # `offs` is strictly increasing over the has-prefix (span >= 1,
-        # zero-span/culled rows depth-sort to the end), so the segment
-        # starts scatter at sorted unique in-bounds targets — the hints
-        # turn XLA's serial scatter into a vectorized masked store, and
-        # out-of-range rows are dropped instead of parked at M-1
-        has = (span > 0) & (offs < M)
-        tgt = jnp.where(has, offs, M)
-        # HT3DGS_PLAIN_SCATTER=1 drops the sorted/unique hints (A/B lever:
-        # scatter lowering differs per backend/toolchain).
-        # NOTE on the hints' contract: in-bounds targets are sorted and
-        # unique, but every dropped row shares tgt == M, and duplicate
-        # out-of-range indices under mode='drop' with unique_indices=True
-        # are not covered by the XLA scatter spec. Current lowerings drop
-        # them before the uniqueness assumption matters; any new
-        # backend/toolchain must be gated through `bench.py --validate`,
-        # which diff-checks this path against the hint-free
-        # (HT3DGS_PLAIN_SCATTER=1) graph on device.
-        import os as _os
-        _hints = _os.environ.get("HT3DGS_PLAIN_SCATTER", "0") != "1"
-        _kw = (dict(indices_are_sorted=True, unique_indices=True)
-               if _hints else {})
-        starts_src = jnp.zeros((M,), jnp.int32).at[tgt].set(
-            order + 1, mode="drop", **_kw)
-        # per-entry tile geometry, gather-free: forward-fill (x0, y0,
-        # span_x) bit-packed into one payload (each < 2^bits; 3*bits <= 27
-        # holds to ~8K resolutions) from each segment start via the
-        # blocked-cummax fill
-        starts_pay = jnp.zeros((M,), jnp.int32).at[tgt].set(
-            packed_d, mode="drop", **_kw)
-        # the src fill also yields each entry's segment-start POSITION
-        # (one blocked cummax carries both), replacing the old separate
-        # change-detect + cummax chain for `local`; both channels (src ids
-        # + packed geometry) share one batched scan dispatch
-        pb2 = max(pb, 3 * bits)
-        vals, poss = _seg_ffill2_pos(
-            jnp.stack([starts_src, starts_pay]), pb2)
-        src = jnp.clip(vals[0] - 1, 0, N - 1)
-        pay_ff = vals[1]
-        pos_ff = poss[0]
-        local = m - (pos_ff - 1)
-        mask = (1 << bits) - 1
-        sx = jnp.maximum(pay_ff & mask, 1)
-        # TPU has no hardware integer division — local//sx over M entries
-        # is pathologically slow — so the quotient is computed in f32 with
-        # a +0.5 bias (exact for local < 2^22; margin 0.5/sx >> f32 eps)
-        q = jnp.floor((local.astype(jnp.float32) + 0.5)
-                      / sx.astype(jnp.float32)).astype(jnp.int32)
-        rem = local - q * sx
-        tx = (pay_ff >> (2 * bits)) + rem
-        ty = ((pay_ff >> bits) & mask) + q
-        tile_id = jnp.where(m < total, ty * ntx + tx, T)  # sentinel -> end
+    pb = max(int(N).bit_length(), 1)
+    assert pb <= 27, f"capacity {N} overflows the ffill payload"
+    # `offs` is strictly increasing over the has-prefix (span >= 1,
+    # zero-span/culled rows depth-sort to the end), so the segment
+    # starts scatter at sorted unique in-bounds targets — the hints
+    # turn XLA's serial scatter into a vectorized masked store, and
+    # out-of-range rows are dropped instead of parked at M-1
+    has = (span > 0) & (offs < M)
+    tgt = jnp.where(has, offs, M)
+    # HT3DGS_PLAIN_SCATTER=1 drops the sorted/unique hints (A/B lever:
+    # scatter lowering differs per backend/toolchain).
+    # NOTE on the hints' contract: in-bounds targets are sorted and
+    # unique, but every dropped row shares tgt == M, and duplicate
+    # out-of-range indices under mode='drop' with unique_indices=True
+    # are not covered by the XLA scatter spec. Current lowerings drop
+    # them before the uniqueness assumption matters; any new
+    # backend/toolchain must be gated through `bench.py --validate`,
+    # which diff-checks this path against the hint-free
+    # (HT3DGS_PLAIN_SCATTER=1) graph on device.
+    import os as _os
+    _hints = _os.environ.get("HT3DGS_PLAIN_SCATTER", "0") != "1"
+    _kw = (dict(indices_are_sorted=True, unique_indices=True)
+           if _hints else {})
+    starts_src = jnp.zeros((M,), jnp.int32).at[tgt].set(
+        order + 1, mode="drop", **_kw)
+    # per-entry tile geometry, gather-free: forward-fill (x0, y0,
+    # span_x) bit-packed into one payload (each < 2^bits; 3*bits <= 27
+    # holds to ~8K resolutions) from each segment start via the
+    # blocked-cummax fill
+    starts_pay = jnp.zeros((M,), jnp.int32).at[tgt].set(
+        packed_d, mode="drop", **_kw)
+    # the src fill also yields each entry's segment-start POSITION
+    # (one blocked cummax carries both), replacing the old separate
+    # change-detect + cummax chain for `local`; both channels (src ids
+    # + packed geometry) share one batched scan dispatch
+    pb2 = max(pb, 3 * bits)
+    vals, poss = _seg_ffill2_pos(
+        jnp.stack([starts_src, starts_pay]), pb2)
+    src = jnp.clip(vals[0] - 1, 0, N - 1)
+    pay_ff = vals[1]
+    pos_ff = poss[0]
+    local = m - (pos_ff - 1)
+    mask = (1 << bits) - 1
+    sx = jnp.maximum(pay_ff & mask, 1)
+    # TPU has no hardware integer division — local//sx over M entries
+    # is pathologically slow — so the quotient is computed in f32 with
+    # a +0.5 bias (exact for local < 2^22; margin 0.5/sx >> f32 eps)
+    q = jnp.floor((local.astype(jnp.float32) + 0.5)
+                  / sx.astype(jnp.float32)).astype(jnp.int32)
+    rem = local - q * sx
+    tx = (pay_ff >> (2 * bits)) + rem
+    ty = ((pay_ff >> bits) & mask) + q
+    tile_id = jnp.where(m < total, ty * ntx + tx, T)  # sentinel -> end
 
     # ---- 4. stable sort by tile (preserves depth order in ties) ----------
     # multi-operand lax.sort co-sorts src with the keys in one pass —
