@@ -221,7 +221,10 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
     nty = _cdiv(height, tile_h)
     T = ntx * nty
     Nc = min(compact_n, N) if compact_n else N
-    M = Nc * dup_factor
+    # fractional dup_factor allowed: M tracks the TRUE total entry count
+    # (n_entries diagnostic), not a per-row worst case — the fills and the
+    # [M] tile sort are M-bound, so e.g. dup 1.3 vs 2 cuts them ~35%
+    M = max(int(round(Nc * dup_factor)), 1)
 
     # ---- 1-3. tile spans (getRect semantics, per-axis tight extents) ------
     # ex/ey are the exact alpha>=1/255 support bbox (projection.py), so the

@@ -131,10 +131,13 @@ def train_nonleaf_segments_parallel(tr, bundles: List, frame_lists:
     eng = LockstepEngine(tr, mesh, states, opts, radii,
                          [b.spatial_scale for b in bundles], H, W,
                          label="parallel nonleaf")
-    # the phase-1 child renders are FULL-image vmapped forwards (not
-    # tile-sharded row blocks) — the engine's block-sized compact_n must
-    # not apply there
-    tile_args = dict(tr._tile_args) if tr._tile_args else None
+    def child_tile_args():
+        # the phase-1 child renders are FULL-image vmapped forwards (not
+        # tile-sharded row blocks): track the engine's auto-grown
+        # capacities but strip its block-sized compact_n
+        ta = {k: v for k, v in (eng.tile_args or {}).items()
+              if k != "compact_n"}
+        return tuple(sorted(ta.items())) if ta else None
     # the sequential path restores the trainer counter from each bundle
     # (merged bundles restart at 0: hierarchy.hierarchical_training sets
     # dst.global_iteration = 0) — the lockstep batch shares the max
@@ -236,8 +239,7 @@ def train_nonleaf_segments_parallel(tr, bundles: List, frame_lists:
                     children,
                     jnp.asarray([c[2] for c in pad], jnp.int32),
                     pa.stack_cameras([c[3] for c in pad]), mode=tr._mode,
-                    tile_args=tuple(sorted(tile_args.items()))
-                    if tile_args else None)
+                    tile_args=child_tile_args())
                 for j, (i_it, i_s, _, _) in enumerate(chunk):
                     buf[(i_it, i_s)] = imgs[j]
                 next_req += len(chunk)
