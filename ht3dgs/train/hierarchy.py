@@ -887,6 +887,7 @@ class HTGaussianTrainer(GaussianTrainer):
                 if all(c is not None for c in crumbs):
                     for k, b in enumerate(crumbs):
                         bundles[self.train_level][i0 + k] = b
+                    self._commit_crumb_rng(crumbs[-1])
                     continue
                 with self.timer.phase("leaf_parallel"):
                     trained = pl.train_leaf_segments_parallel(self, chunk)
@@ -916,6 +917,7 @@ class HTGaussianTrainer(GaussianTrainer):
                         if all(c is not None for c in crumbs):
                             for i, c in zip(idxs, crumbs):
                                 bundles[level][i] = c
+                            self._commit_crumb_rng(crumbs[-1])
                             nonleaf_pretrained.update(idxs)
                             continue
                         chunk = [bundles[level][i] for i in idxs]
@@ -938,6 +940,7 @@ class HTGaussianTrainer(GaussianTrainer):
                 if crumb is not None:
                     bundle = crumb
                     bundles[level][seg_idx] = bundle
+                    self._commit_crumb_rng(bundle)
                     self.global_iteration = bundle.global_iteration
                 elif level == self.train_level:
                     bundle = bundles[level][seg_idx]  # parallel-pre-trained
@@ -1082,11 +1085,10 @@ class HTGaussianTrainer(GaussianTrainer):
                 " (schedule/partition/budget/seed changed since the crumb"
                 " was written) — retraining this segment")
             return None
+        rng_payload = None
         if "py_rng_state" in z.files:
-            import pickle
-
-            self.rng.setstate(pickle.loads(z["py_rng_state"].tobytes()))
-            self.key = jnp.asarray(z["jax_key"])
+            rng_payload = (z["py_rng_state"].tobytes(),
+                           np.asarray(z["jax_key"]))
         zeros = jnp.zeros((z["live"].shape[0],), jnp.float32)
         state = GaussianState(
             **{f: jnp.asarray(z[f]) for f in G.PARAM_FIELDS},
@@ -1105,8 +1107,23 @@ class HTGaussianTrainer(GaussianTrainer):
             global_iteration=int(z["global_iteration"]),
             start_fidx=int(z["start_fidx"]),
             to_visit_frames=[int(x) for x in z["to_visit"]])
+        # the RNG payload is NOT applied here: a caller may discard the
+        # crumb (e.g. a partial parallel chunk retrains the whole chunk),
+        # and a discarded load must not fast-forward the trainer streams.
+        # Callers commit via _commit_crumb_rng once a crumb is accepted.
+        b._rng_payload = rng_payload
         self.logger.info(f"resumed breadcrumb {path}")
         return b
+
+    def _commit_crumb_rng(self, bundle) -> None:
+        """Apply the trainer RNG stream saved in an ACCEPTED breadcrumb
+        so the resumed run continues the uninterrupted run's streams."""
+        payload = getattr(bundle, "_rng_payload", None)
+        if payload is not None:
+            import pickle
+
+            self.rng.setstate(pickle.loads(payload[0]))
+            self.key = jnp.asarray(payload[1])
 
     def _train_leaf_segment(self, frames: List[int]) -> ModelBundle:
         """Leaf: init on first frame, then walk the segment chaining poses

@@ -96,17 +96,22 @@ class LockstepEngine:
         self._steps_since_tune = 0
 
         self.tile_args = dict(tr._tile_args) if tr._tile_args else None
-        n_tiles = mesh.shape["tile"]
-        frac = getattr(tr.pipe_cfg, "tile_compact_frac", None)
-        if frac and n_tiles > 1:
-            cap = int(states.means.shape[1])
-            compact = min(cap, _round128(cap * float(frac) / n_tiles))
-            self.tile_args = dict(self.tile_args or {})
-            self.tile_args["compact_n"] = compact
-            tr.logger.info(
-                f"[{self.label}] block cull-compaction on: "
-                f"compact_n={compact} (cap {cap}, {n_tiles} tiles)")
+        self._n_tiles = mesh.shape["tile"]
+        self._compact_frac = getattr(tr.pipe_cfg, "tile_compact_frac",
+                                     None)
+        if self._compact_frac and self._n_tiles > 1:
+            self._seed_compact_n()
         self.step = self._build_step()
+
+    def _seed_compact_n(self):
+        cap = int(self.states.means.shape[1])
+        compact = min(cap, _round128(
+            cap * float(self._compact_frac) / self._n_tiles))
+        self.tile_args = dict(self.tile_args or {})
+        self.tile_args["compact_n"] = compact
+        self.tr.logger.info(
+            f"[{self.label}] block cull-compaction: compact_n={compact} "
+            f"(cap {cap}, {self._n_tiles} tiles)")
 
     def _build_step(self):
         return mesh_lib.build_hierarchy_step(
@@ -206,6 +211,12 @@ class LockstepEngine:
             if int(np.max(np.asarray(dropped))) > 0:
                 self.states, self.opts = _grow_stacked(
                     self.states, self.opts, tr.logger, self.label)
+                if self._compact_frac and self._n_tiles > 1:
+                    # re-derive compact_n from the doubled capacity —
+                    # a stale block budget would silently drop live
+                    # Gaussians until the 50-step autogrow noticed
+                    self._seed_compact_n()
+                    self.step = self._build_step()
         if do_reset:
             self.states, self.opts = mesh_lib.batched_reset_opacity(
                 self.states, self.opts)

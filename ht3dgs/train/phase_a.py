@@ -122,7 +122,10 @@ def shard_batch(tree, devices=None, batch_dim: Optional[int] = None):
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    devices = list(devices) if devices is not None else jax.devices()
+    # LOCAL devices only: device_put of host arrays onto a sharding that
+    # spans other processes' devices is rejected by JAX. Multi-host Phase
+    # A parallelism comes from segment-level work division, not this.
+    devices = list(devices) if devices is not None else jax.local_devices()
     n = len(devices)
     if n <= 1:
         return tree

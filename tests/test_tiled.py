@@ -201,6 +201,13 @@ def test_compact_n_exact_and_counts_drops():
     from ht3dgs.raster.tiled import build_tile_lists
 
     state, cam = make_scene(n=512, h=64, w=64)
+    # park a block of rows behind the camera so live < N and a
+    # compact_n < N is lossless — the slice branch must actually RUN for
+    # the parity assertions to mean anything
+    means = np.asarray(state.means).copy()
+    means[:100, 2] = -5.0
+    state = dataclasses.replace(state, means=jnp.asarray(means))
+    compact = 448      # >= 412 live rows, < N=512
     for camera in (
         cam,
         dataclasses.replace(cam, cy=cam.cy - 32.0, height=32,
@@ -208,10 +215,11 @@ def test_compact_n_exact_and_counts_drops():
                             clip_tan_y=cam.tan_half_fovy),
     ):
         proj = project_scene(state, camera)
+        assert int(jnp.sum(proj.valid.astype(jnp.int32))) <= compact
         a = build_tile_lists(proj, camera.height, camera.width, 16, 16,
                              1024, 16)
         b = build_tile_lists(proj, camera.height, camera.width, 16, 16,
-                             1024, 16, compact_n=512)
+                             1024, 16, compact_n=compact)
         for xa, xb in zip(a, b):
             np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
 
@@ -226,7 +234,7 @@ def test_compact_n_exact_and_counts_drops():
         return jnp.mean(out["image"] ** 2)
 
     g0 = np.asarray(jax.grad(lambda m: loss(m, None))(proj.means2d))
-    g1 = np.asarray(jax.grad(lambda m: loss(m, 512))(proj.means2d))
+    g1 = np.asarray(jax.grad(lambda m: loss(m, compact))(proj.means2d))
     np.testing.assert_array_equal(g0, g1)
 
     # undersized: live rows past compact_n drop, and the counter says so
