@@ -237,9 +237,24 @@ class HTGaussianTrainer(GaussianTrainer):
 
     def _grow_capacity(self, bundle: ModelBundle):
         """Double the static capacity (host-side realloc; triggers one
-        recompile at the new shape)."""
+        recompile at the new shape).
+
+        HT3DGS_MAX_CAPACITY (env) clamps growth: densify overflow past
+        the clamp drops new Gaussians instead of reallocating — the
+        bounded-memory/ops escape hatch for remote services whose
+        compiler falls over on the doubled graph (observed: the axon
+        worker dies compiling a 1M-cap 160x208 step mid-run). An env
+        knob rather than config so a clamped relaunch keeps the same
+        crumb config-fingerprint and resumes its own breadcrumbs."""
         st = bundle.state
         cap = st.capacity
+        max_cap = int(os.environ.get("HT3DGS_MAX_CAPACITY", "0"))
+        if max_cap and 2 * cap > max_cap:
+            self.logger.warning(
+                f"capacity growth {cap} -> {2 * cap} clamped by "
+                f"HT3DGS_MAX_CAPACITY={max_cap}; densify overflow will "
+                f"drop new Gaussians")
+            return
         pad_rows = cap  # double
 
         def pad(x):
