@@ -319,6 +319,12 @@ def _binning_impl(attrs, valid, depths, height, width, tile_h, tile_w,
     _hints = _os.environ.get("HT3DGS_PLAIN_SCATTER", "0") != "1"
     _kw = (dict(indices_are_sorted=True, unique_indices=True)
            if _hints else {})
+    # NEGATIVE RESULT (r5, measured): fusing these two scatters into ONE
+    # [2, M] columns-scatter wins isolated (49.7 vs 55.6 ms at N=1M) but
+    # regresses the FUSED train step 22.1 -> 15.8 MP/s — the 2-D scatter
+    # breaks XLA's masked-store lowering of the 1-D hinted pattern. Two
+    # separate [M] scatters stand (isolated micro-benchmarks mislead on
+    # TPU, in both directions).
     starts_src = jnp.zeros((M,), jnp.int32).at[tgt].set(
         order + 1, mode="drop", **_kw)
     # per-entry tile geometry, gather-free: forward-fill (x0, y0,
