@@ -30,6 +30,39 @@ from .losses import psnr as psnr_fn
 from .losses import ssim as ssim_fn
 
 
+def settle_eval_tile_args(trainer, state, camera, max_k: int = 16384):
+    """Grow the tile capacities until an eval render of `state` drops
+    nothing (max_per_tile x2 up to 16384, dup_factor x2 up to 64).
+
+    Eval modes build a FRESH trainer whose preset tile capacities never
+    saw the training run's auto-grow; a 405k-Gaussian root at 160x208
+    silently lost 454k per-tile entries (train-view PSNR 32 -> 18.5)
+    before this probe existed (round-5 scale run). Returns the settled
+    tile_args tuple and mirrors it onto trainer._tile_args."""
+    from ..raster import render as render_fn
+
+    ta = dict(trainer._tile_args) if trainer._tile_args else {}
+    ta.setdefault("max_per_tile", 1024)
+    ta.setdefault("dup_factor", 16)
+    for _ in range(6):
+        out = step_lib.render_eval(state, camera, mode=trainer._mode,
+                                   tile_args=tuple(sorted(ta.items())))
+        nd_t = int(out.get("n_dropped_tile", 0))
+        nd_m = int(out.get("n_dropped_m", 0))
+        if nd_t == 0 and nd_m == 0:
+            break
+        if nd_t:
+            if ta["max_per_tile"] >= max_k:
+                break
+            ta["max_per_tile"] = min(2 * ta["max_per_tile"], max_k)
+        if nd_m:
+            ta["dup_factor"] = min(2 * ta["dup_factor"], 64)
+        trainer.logger.info(f"[eval] tile capacity grown for eval: {ta} "
+                            f"(nd_tile={nd_t}, nd_m={nd_m})")
+    trainer._tile_args = tuple(sorted(ta.items()))
+    return trainer._tile_args
+
+
 def eval_nvs(trainer, checkpoint: Optional[str] = None,
              pose_file: Optional[str] = None) -> dict:
     ckpt = checkpoint or trainer.model_cfg.model_path or \
@@ -78,6 +111,8 @@ def eval_nvs(trainer, checkpoint: Optional[str] = None,
              for p in init]
     lr = jnp.asarray(trainer.sched.rotation_lr, jnp.float32)
     epochs = trainer.sched.eval_nvs_epochs
+    settle_eval_tile_args(trainer, bundle.state,
+                          trainer.camera_for(0, pose=init[0]))
 
     # Test frames are independent, so the reference's epochs x seq_len
     # host loop of single pose-Adam steps
@@ -102,6 +137,8 @@ def eval_nvs(trainer, checkpoint: Optional[str] = None,
             cams, gts, lr, mode=trainer._mode,
             tile_args=trainer._tile_args,
             lambda_dssim=trainer.sched.lambda_dssim, n_iters=epochs,
+            exec_chunk=(getattr(trainer.pipe_cfg, "eval_nvs_exec_chunk", 0)
+                        or pa.EXEC_CHUNK),
             shared_state=True)
         for i, f in enumerate(frames):
             deltas[f] = db[i]
@@ -189,6 +226,8 @@ def render_nvs(trainer, checkpoint: Optional[str] = None,
     c2ws = np.linalg.inv(poses_pred)
     novel_c2w = traj_lib.interp_poses_bspline(c2ws, n_novel)
     novel_w2c = np.linalg.inv(novel_c2w)
+    settle_eval_tile_args(trainer, bundle.state,
+                          trainer.camera_for(0, pose=poses_pred[0]))
 
     out_dir = os.path.join(os.path.dirname(os.path.dirname(ckpt)),
                            "nvs", traj_opt)

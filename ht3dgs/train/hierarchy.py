@@ -1195,6 +1195,16 @@ class HTGaussianTrainer(GaussianTrainer):
         bundle = self.gs_bundle
         B = max(1, int(getattr(self.pipe_cfg, "eval_batch", 8)))
         psnrs = []
+        if self._mode in ("tiled", "pallas"):
+            # settle tile capacities for THIS model before the sweep: a
+            # freshly-built trainer's presets can silently truncate a
+            # big post-merge model (round-5 scale run: 454k dropped
+            # per-tile entries, 32 -> 18.5 dB)
+            from . import evals as _evals
+
+            _evals.settle_eval_tile_args(
+                self, bundle.state,
+                self.camera_for(0, pose=bundle.get_RT(0)))
 
         @partial(jax.jit, static_argnames=("mode", "tile_args"))
         def render_chunk(state, cams, mode, tile_args):

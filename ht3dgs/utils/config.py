@@ -92,6 +92,9 @@ class PipelineConfig:
     tile_max_per_tile: int = 0         # preset binning K (0 = renderer
     tile_dup_factor: int = 0           # default); avoids auto-grow
     #                                    recompiles on known-dense scenes
+    eval_nvs_exec_chunk: int = 0       # iters per device execution in the
+    #   eval_nvs test-time pose fit (0 = phase_a.EXEC_CHUNK); lower it for
+    #   big models on the remote service (execution-length kill threshold)
     eval_nvs_batch: int = 16           # frames per batched test-time
     #                                    pose-fit chunk (device-memory bound)
 
