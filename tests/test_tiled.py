@@ -245,3 +245,39 @@ def test_compact_n_exact_and_counts_drops():
                           compact_n=small)
     assert int(out["n_dropped_compact"]) > 0
     assert int(out["n_dropped"]) >= int(out["n_dropped_compact"])
+
+
+def test_wide_grid_4op_fallback_matches_oracle():
+    """Grids with 4*bits > 31 take the 4-operand co-sort fallback (span as
+    its own sort payload instead of packed span_y); pin it against the
+    oracle — every other test runs the 3-op packed path (small grids)."""
+    from ht3dgs.raster import tiled as TL
+
+    h, w = 16, 4176                      # ntx=261 -> bits=9 -> 4*bits=36
+    ntx = -(-w // 16)
+    bits = max(int(ntx).bit_length(), int(-(-h // 16)).bit_length())
+    assert 4 * bits > 31, "scene no longer exercises the fallback path"
+
+    state, cam = make_scene(n=64, h=h, w=w, spread=2.0)
+    proj = project_scene(state, cam)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    ora = rasterize_oracle(proj, cam.height, cam.width, bg)
+    til = rasterize_tiled(proj, cam.height, cam.width, bg,
+                          tile_h=16, tile_w=16, max_per_tile=2048,
+                          dup_factor=512)
+    assert int(til["n_dropped"]) == 0
+    np.testing.assert_allclose(np.asarray(til["image"]),
+                               np.asarray(ora["image"]), atol=2e-5)
+
+    # gradients route through the same binning: keep them pinned too
+    target = jnp.zeros((cam.height, cam.width, 3))
+
+    def loss(means, mode):
+        s = dataclasses.replace(state, means=means)
+        out = render(s, cam, mode=mode,
+                     tile_args=dict(max_per_tile=2048, dup_factor=512))
+        return jnp.mean((out["image"] - target) ** 2)
+
+    g_o = np.asarray(jax.grad(lambda m: loss(m, "oracle"))(state.means))
+    g_t = np.asarray(jax.grad(lambda m: loss(m, "tiled"))(state.means))
+    np.testing.assert_allclose(g_t, g_o, atol=1e-5)
