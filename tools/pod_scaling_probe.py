@@ -6,7 +6,7 @@ depth co-sort over N and the static M = N*dup fills/sort do NOT divide by
 n_tiles; only the T-bound stages (ent gather, blend, loss) do).
 
 Measures the REAL single-chip fwd+bwd step at row-block heights
-H, H/2, H/4, H/8 (exactly the per-chip work of a 1/2/4/8-way tile shard,
+H, H/2, ..., H/16 (exactly the per-chip work of an n-way tile shard,
 via the same shifted-cy block camera the mesh step uses) on the bench
 scene, and prints a per-stage-honest pod projection:
 
@@ -197,7 +197,8 @@ def main():
         return (time.time() - t0) / iters * 1000.0, cap_n
 
     rows = []
-    for n_tiles in (1, 2, 4, 8):
+    # 16 = the v5e-16 pod BASELINE.md names for the Francis e2e target
+    for n_tiles in (1, 2, 4, 8, 16):
         bh = H // n_tiles
         ms, _ = measure(n_tiles, tile_args)
         row = {"n_tiles": n_tiles, "block_h": bh, "ms_per_step": round(ms, 2)}
